@@ -1,0 +1,359 @@
+"""Query registry: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+
+* every computed column is aliased IDENTICALLY in both engines
+* token arrays are compared as CSV strings (``tokens_csv``) — identical
+  rendering in both engines, no array-hash ambiguity
+* timestamps cross the boundary as ``unix_micros``/``epoch_us`` bigints
+* doubles are rounded to a fixed number of decimals on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import transforms as X
+from go_html_transform_spark.plans.pipeline import Transformer
+from go_html_transform_spark.sources import tables as S
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _cte(body: str) -> str:
+    # sf_dir is irrelevant for the oracle (driver pre-registers views), but
+    # with_cte needs a placeholder for its signature symmetry.
+    return S.with_cte(body, sf_dir="")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.6 aggregations — sequence view + per-source stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seq_scan_counts",
+    _cte(
+        """
+        SELECT source,
+               COUNT(*) AS n_rows,
+               SUM(n_tok) AS sum_n_tok,
+               MIN(CAST(epoch_us(event_time) AS BIGINT)) AS first_us
+        FROM seq GROUP BY source ORDER BY source
+        """
+    ),
+)
+def seq_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source scan + broadcast dim join + groupBy agg (SURVEY §2.1, §2.6)."""
+    seq = S.sequences(spark, sf_dir)
+    return (
+        seq.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.min(F.unix_micros(F.col("event_time").cast("timestamp"))).alias("first_us"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "seq_filter_project",
+    _cte(
+        """
+        SELECT doc_id, event_id, n_tok
+        FROM seq WHERE source = 'src0' AND n_tok > 20
+        """
+    ),
+)
+def seq_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection — both push down to the parquet scan
+    (verify: .explain shows PushedFilters on events.source? no — source
+    lives on the dim side; the n_tok filter prunes post-join, the
+    event-side scan reads only (ts,user_id,event_id...))."""
+    seq = S.sequences(spark, sf_dir)
+    return seq.filter((F.col("source") == "src0") & (F.col("n_tok") > 20)).select(
+        "doc_id", "event_id", "n_tok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 filters — token predicates (array-native match positions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "match_token_eq",
+    _cte(
+        """
+        SELECT event_id, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT event_id,
+                   unnest(tokens) AS tok,
+                   unnest(range(len(tokens))) AS pos
+            FROM seq
+        ) WHERE tok = 756
+        """
+    ),
+)
+def match_token_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence.Find analogue (data.go:217-227): all positions where
+    token == 756, computed array-native then exploded only for output."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq)
+    m = tr.matched("t756")
+    return m.select("event_id", F.explode("match_pos").alias("pos"))
+
+
+@register(
+    "match_child_combinator",
+    _cte(
+        """
+        SELECT event_id, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT event_id,
+                   unnest(tokens) AS tok,
+                   unnest(range(len(tokens))) AS pos,
+                   tokens
+            FROM seq
+        ) WHERE tok = 982 AND pos > 0 AND tokens[CAST(pos AS INTEGER)] = 756
+        """
+    ),
+)
+def match_child_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child combinator `t756 > t982` (Link.Find child, data.go:285-291):
+    token 5 immediately following token 756. DuckDB oracle uses 1-indexed
+    tokens[pos] == element at 0-based pos-1."""
+    seq = S.sequences(spark, sf_dir)
+    m = Transformer(seq).matched("t756 > t982")
+    return m.select("event_id", F.explode("match_pos").alias("pos"))
+
+
+@register(
+    "match_descendant_combinator",
+    _cte(
+        """
+        SELECT event_id, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT event_id,
+                   unnest(tokens) AS tok,
+                   unnest(range(len(tokens))) AS pos,
+                   list_position(tokens, 607) AS first7  -- 1-based, NULL if absent
+            FROM seq
+        ) WHERE tok = 982 AND first7 > 0 AND pos > first7 - 1
+        """
+    ),
+)
+def match_descendant_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descendant `t607 t982` (data.go:278-284): 5s strictly after the first 7."""
+    seq = S.sequences(spark, sf_dir)
+    m = Transformer(seq).matched("t607 t982")
+    return m.select("event_id", F.explode("match_pos").alias("pos"))
+
+
+@register(
+    "match_adjacent_both_directions",
+    _cte(
+        """
+        SELECT event_id, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT event_id,
+                   unnest(tokens) AS tok,
+                   unnest(range(len(tokens))) AS pos,
+                   tokens, len(tokens) AS n
+            FROM seq
+        )
+        WHERE tok = 982 AND (
+            (pos > 0 AND tokens[CAST(pos AS INTEGER)] = 756)
+            OR (pos < n - 1 AND tokens[CAST(pos + 2 AS INTEGER)] = 756)
+        )
+        """
+    ),
+)
+def match_adjacent_both_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent `t756 + t982` — BOTH directions, pinning the reference quirk
+    (AdjacentSibling probes Prev AND Next, data.go:292-299)."""
+    seq = S.sequences(spark, sf_dir)
+    m = Transformer(seq).matched("t756 + t982")
+    return m.select("event_id", F.explode("match_pos").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 transforms — token-array mutations, exact-array correctness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transform_append",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 982)
+                      THEN list_append(tokens, 1023)
+                      ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppendChildren (transform.go:157-167) on rows matching rule `t982`."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply("t982", lambda t, p: X.append_children(t, [1023]))
+    return tr.df.select(
+        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    )
+
+
+@register(
+    "transform_pipeline_two_rules",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(
+                        CASE WHEN list_contains(tokens, 982)
+                             THEN list_append(tokens, 1001) ELSE tokens END, 1001)
+                      THEN list_append(
+                        CASE WHEN list_contains(tokens, 982)
+                             THEN list_append(tokens, 1001) ELSE tokens END, 1002)
+                      ELSE CASE WHEN list_contains(tokens, 982)
+                             THEN list_append(tokens, 1001) ELSE tokens END
+                 END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_pipeline_two_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyAll ordered fold (transform.go:149-155): rule 2 sees rule 1's
+    output (second append fires exactly on rows the first touched)."""
+    from go_html_transform_spark.plans.pipeline import Transform
+
+    seq = S.sequences(spark, sf_dir)
+    t1 = Transform.parse("t982", lambda t, p: X.append_children(t, [1001]))
+    t2 = Transform.parse("t1001", lambda t, p: X.append_children(t, [1002]))
+    tr = Transformer(seq).apply_all(t1, t2)
+    return tr.df.select(
+        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    )
+
+
+@register(
+    "transform_splice",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 756) THEN
+                   list_concat(
+                     list_concat(tokens[1:list_position(tokens, 756) - 1],
+                                 [901, 902]),
+                     tokens[list_position(tokens, 756) + 1:])
+                 ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace/splice (transform.go:208-223): substitute [901,902] for the
+    FIRST occurrence of token 756."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply(
+        "t756", lambda t, p: X.splice(t, F.element_at(p, 1), [901, 902])
+    )
+    return tr.df.select(
+        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    )
+
+
+@register(
+    "transform_subtransform",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN source = 'src1'
+                      THEN list_transform(tokens,
+                             t -> CASE WHEN t < 16 THEN t + 512 ELSE t END)
+                      ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_subtransform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtransform (transform.go:250-281): scoped token rewrite inside
+    matched rows only — nested HOF, no explode."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply(
+        ".src1",
+        lambda t, p: X.subtransform(t, lambda tok: tok < 16, lambda tok: tok + 512),
+    )
+    return tr.df.select(
+        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    )
+
+
+@register(
+    "transform_fan_out",
+    _cte(
+        """
+        SELECT event_id, variant,
+               array_to_string(tokens2, ',') AS tokens_csv
+        FROM (
+            SELECT event_id,
+                   unnest([list_append(tokens, 911), tokens[1:3]]) AS tokens2,
+                   unnest([0, 1]) AS variant
+            FROM seq WHERE list_contains(tokens, 310)
+            UNION ALL
+            SELECT event_id, tokens AS tokens2, 0 AS variant
+            FROM seq WHERE NOT list_contains(tokens, 310)
+        )
+        """
+    ),
+)
+def transform_fan_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CopyAnd fan-out (transform.go:235-248): matched rows explode into one
+    row per variant (posexplode gives the variant index)."""
+    seq = S.sequences(spark, sf_dir)
+    from go_html_transform_spark.plans.parser import parse_rule
+    from go_html_transform_spark.plans.rules import compile_chain
+
+    c = compile_chain(parse_rule("t310"), attrs=None)
+    t = F.col("tokens")
+    variants = F.array(
+        X.append_children(t, [911]).cast("array<int>"),
+        F.slice(t, 1, 3).cast("array<int>"),
+    )
+    out = seq.select(
+        "event_id",
+        F.posexplode(F.when(c.row_matched, variants).otherwise(F.array(t))).alias(
+            "variant", "tokens2"
+        ),
+    )
+    return out.select(
+        "event_id", "variant", F.concat_ws(",", F.col("tokens2")).alias("tokens_csv")
+    )

@@ -1,0 +1,157 @@
+"""Source scans: the driver's parquet tables + the canonical sequence views.
+
+Reference mapping (SURVEY.md §2.1): ``h5.New`` (full parse -> Tree,
+/root/reference/h5/h5.go:70-79) becomes the source scan; the payload arrives
+pre-tokenized, so the scan here is ``spark.read.parquet`` (Iceberg
+``spark.read.format('iceberg')`` on a real cluster — see sources/sinks.py).
+
+The canonical engine input is the ``sequences`` view with exactly the
+input_hint shape plus the temporal axis:
+
+    (doc_id:string, event_time:timestamp, tokens:array<int32>,
+     n_tok:int32, source:string)  + (event_type, value) extras
+
+built as ``documents JOIN events ON documents.doc_id = events.user_id``
+(user_id range is a subset of doc_id range at every SF — verified).
+``documents`` is a small dimension (500-5000 rows at test SFs, and a
+vocabulary-bounded dimension at 100 TB) so the join is explicitly
+BROADCAST — zero shuffle on the 10^12-row fact side.
+
+Every view has a twin ``*_sql()`` returning the equivalent DuckDB SQL so the
+oracle can never drift from the Spark definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.functions.tokenize import tokens_expr, tokens_sql
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Column pruning + predicate pushdown reach the
+    parquet reader automatically because callers select/filter on the result
+    (check with .explain(): PushedFilters / ReadSchema)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# doc_id is formatted identically in Spark and DuckDB: 'd' || zero-padded id.
+def _doc_id_expr(col):
+    return F.concat(F.lit("d"), F.lpad(col.cast("string"), 6, "0"))
+
+
+def _doc_id_sql(expr: str) -> str:
+    return f"'d' || lpad(CAST({expr} AS VARCHAR), 6, '0')"
+
+
+def documents_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + derived tokens/n_tok columns (the static per-doc payload)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return d.select(
+        _doc_id_expr(F.col("doc_id")).alias("doc_id"),
+        F.col("doc_id").alias("doc_key"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+    )
+
+
+def documents_tokenized_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT {_doc_id_sql('doc_id')} AS doc_id,
+               doc_id AS doc_key,
+               text, lang, source, n_chars,
+               {tokens_sql('text')} AS tokens,
+               CAST(len({tokens_sql('text')}) AS INTEGER) AS n_tok
+        FROM documents
+    """
+
+
+def sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical (doc_id, event_time, tokens, n_tok, source) fact view.
+
+    events is the 10^12-scale fact; documents the broadcast dim. The join key
+    (user_id == doc_key) never shuffles the fact side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = documents_tokenized(spark, sf_dir)
+    return (
+        e.join(F.broadcast(d), e["user_id"] == d["doc_key"], "inner")
+        .select(
+            d["doc_id"],
+            e["ts"].alias("event_time"),
+            d["tokens"],
+            d["n_tok"],
+            d["source"],
+            d["lang"],
+            e["event_id"],
+            e["event_type"],
+            e["value"],
+            e["props"],
+        )
+    )
+
+
+def sequences_sql(sf_dir: str) -> str:
+    """DuckDB twin of sequences() — used as a CTE by every oracle query."""
+    return f"""
+        SELECT {_doc_id_sql('e.user_id')} AS doc_id,
+               e.ts AS event_time,
+               d.tokens, d.n_tok, d.source, d.lang,
+               e.event_id, e.event_type, e.value, e.props
+        FROM events e
+        JOIN ({documents_tokenized_sql(sf_dir)}) d ON d.doc_key = e.user_id
+    """
+
+
+def labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of right side: purchase events as (doc_id, obs_time, label_value).
+
+    Mirrors the reference's second-document mash-up input
+    (/root/reference/html/transform/doc.go:17-18) — an independent stream of
+    observations keyed by the same entity.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        _doc_id_expr(F.col("user_id")).alias("doc_id"),
+        F.col("ts").alias("obs_time"),
+        F.col("value").alias("label_value"),
+    )
+
+
+def labels_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT {_doc_id_sql('user_id')} AS doc_id,
+               ts AS obs_time,
+               value AS label_value
+        FROM events
+        WHERE event_type = 'purchase'
+    """
+
+
+def with_cte(body_sql: str, sf_dir: str) -> str:
+    """Wrap an oracle query body with the standard CTEs (seq, lab, doc)."""
+    return f"""
+        WITH seq AS ({sequences_sql(sf_dir)}),
+             lab AS ({labels_sql(sf_dir)}),
+             doc AS ({documents_tokenized_sql(sf_dir)})
+        {body_sql}
+    """
