@@ -1,0 +1,178 @@
+"""Point-in-time windowed feature layer (north rule: lag/lead, rolling
+counts over n_tok, gap-based sessionization, forward-fill backfill).
+
+Reference precedent (SURVEY.md §2.7): the sibling combinators ARE window
+logic — AdjacentSibling's both-direction probe
+(/root/reference/css/selector/data.go:292-299) is lag/lead; the sibling
+full-scan (data.go:300-311) is the unbounded partition window; FirstMatch
+fallback (html/transform/transform.go:30-39) is forward-fill.
+
+ZERO-LEAKAGE INVARIANT: every feature here derives only from windows bounded
+at the current row (``rowsBetween(-k, 0)`` / ``unboundedPreceding..0``) —
+no feature ever reads an event after its own timestamp. The property test
+(tests/test_window.py) perturbs future rows and asserts invariance.
+
+Scale notes: all of these are single-shuffle operators — one exchange on
+``partition_by`` (doc_id), then every window reuses the same sort order.
+Catalyst collapses adjacent Window nodes that share (partitionBy, orderBy),
+so ``add_features`` costs ONE shuffle + ONE sort at any scale. Hot entities
+(a doc_id with millions of events) serialize within one task — for those,
+pre-split by time-bucket upstream (operators/skew.py) or rely on AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def entity_window(
+    partition_by: str | list[str] = "doc_id",
+    order_by: str | list[str] = "event_time",
+) -> WindowSpec:
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    return Window.partitionBy(*parts).orderBy(*order)
+
+
+def lag_lead(
+    df: DataFrame,
+    cols: list[str],
+    offsets: list[int] = (1,),
+    w: WindowSpec | None = None,
+) -> DataFrame:
+    """lag(col,k)/lead(col,k) features. lead() reads the future — it is a
+    LABEL-side feature; the leakage test covers only lag_* outputs."""
+    w = w or entity_window()
+    out = df
+    for c in cols:
+        for k in offsets:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+            out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def rolling(
+    df: DataFrame,
+    col: str,
+    k: int,
+    aggs: tuple[str, ...] = ("sum", "mean", "count"),
+    w: WindowSpec | None = None,
+) -> DataFrame:
+    """Rolling aggregates over the trailing k+1 rows INCLUDING current —
+    bounded at the current row (rowsBetween(-k, 0)): leak-free."""
+    w = (w or entity_window()).rowsBetween(-k, 0)
+    out = df
+    c = F.col(col)
+    if "sum" in aggs:
+        out = out.withColumn(f"{col}_rsum{k}", F.sum(c).over(w))
+    if "mean" in aggs:
+        out = out.withColumn(f"{col}_rmean{k}", F.avg(c).over(w))
+    if "count" in aggs:
+        out = out.withColumn(f"{col}_rcnt{k}", F.count(c).over(w))
+    if "min" in aggs:
+        out = out.withColumn(f"{col}_rmin{k}", F.min(c).over(w))
+    if "max" in aggs:
+        out = out.withColumn(f"{col}_rmax{k}", F.max(c).over(w))
+    return out
+
+
+def time_rolling_count(
+    df: DataFrame,
+    seconds: int,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Count of events in the trailing ``seconds`` window (rangeBetween on
+    epoch seconds) — time-based rolling, still bounded at current row."""
+    out_col = out_col or f"cnt_{seconds}s"
+    secs = F.col(time_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(secs)
+        .rangeBetween(-seconds, 0)
+    )
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event exceeds ``gap_seconds``. Classic lag + running-sum —
+    both windows bounded at the current row.
+
+    No reference precedent (the reference has no time axis); the structural
+    analogue is sibling adjacency chains (data.go:292-311)."""
+    w = entity_window(partition_by, time_col)
+    secs = F.col(time_col).cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Forward-fill backfill: last non-null value at or before the current
+    row. The FirstMatch-fallback analogue (transform.go:30-39): take the
+    first non-empty looking backwards."""
+    w = entity_window(partition_by, time_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def rank_features(
+    df: DataFrame,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+) -> DataFrame:
+    """row_number / first-in-group flags — :first-child/:last-child
+    analogues (data.go:138-141) on the temporal axis. ``is_first`` is
+    leak-free; note ``n`` (total events) is NOT and is not produced here."""
+    w = entity_window(partition_by, time_col)
+    rn = F.row_number().over(w)
+    return df.withColumn("event_seq", rn).withColumn(
+        "is_first_event", (rn == 1).cast("int")
+    )
+
+
+def add_features(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    rolling_k: int = 3,
+) -> DataFrame:
+    """The standard feature bundle used by bench + entry: one shuffle on
+    doc_id, one sort on event_time, every window reuses it."""
+    w = entity_window()
+    secs = F.col("event_time").cast("timestamp").cast("long")
+    wcur = w.rowsBetween(Window.unboundedPreceding, 0)
+    wk = w.rowsBetween(-rolling_k, 0)
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.select(
+        "*",
+        F.lag("n_tok", 1).over(w).alias("n_tok_lag1"),
+        F.lag("value", 1).over(w).alias("value_lag1"),
+        F.sum("n_tok").over(wk).alias(f"n_tok_rsum{rolling_k}"),
+        F.avg("n_tok").over(wk).alias(f"n_tok_rmean{rolling_k}"),
+        (F.sum(is_new).over(wcur) - 1).alias("session_id"),
+        F.last("value", ignorenulls=True).over(wcur).alias("value_ffill"),
+        F.row_number().over(w).alias("event_seq"),
+    )

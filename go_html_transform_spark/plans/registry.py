@@ -357,3 +357,180 @@ def transform_fan_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "variant", F.concat_ws(",", F.col("tokens2")).alias("tokens_csv")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 windowed feature layer (operators/window.py) — north-rule features
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_lag_lead",
+    _cte(
+        """
+        SELECT event_id,
+               lag(n_tok) OVER w AS n_tok_lag1,
+               lead(n_tok) OVER w AS n_tok_lead1
+        FROM seq
+        WINDOW w AS (PARTITION BY doc_id ORDER BY event_time, event_id)
+        """
+    ),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over (doc_id, event_time) — AdjacentSibling temporal
+    analogue (data.go:292-299)."""
+    from go_html_transform_spark.operators import window as W
+
+    seq = S.sequences(spark, sf_dir)
+    w = W.entity_window(order_by=["event_time", "event_id"])
+    return W.lag_lead(seq, ["n_tok"], [1], w=w).select(
+        "event_id", "n_tok_lag1", "n_tok_lead1"
+    )
+
+
+@register(
+    "window_rolling_ntok",
+    _cte(
+        """
+        SELECT event_id,
+               SUM(n_tok) OVER w AS n_tok_rsum3,
+               ROUND(AVG(n_tok) OVER w, 4) AS n_tok_rmean3
+        FROM seq
+        WINDOW w AS (PARTITION BY doc_id ORDER BY event_time, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """
+    ),
+)
+def window_rolling_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling counts/sums over n_tok bounded at current row (leak-free)."""
+    from go_html_transform_spark.operators import window as W
+
+    seq = S.sequences(spark, sf_dir)
+    w = W.entity_window(order_by=["event_time", "event_id"])
+    out = W.rolling(seq, "n_tok", 3, aggs=("sum", "mean"), w=w)
+    return out.select(
+        "event_id",
+        "n_tok_rsum3",
+        F.round("n_tok_rmean3", 4).alias("n_tok_rmean3"),
+    )
+
+
+@register(
+    "window_sessionize",
+    _cte(
+        """
+        SELECT event_id,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY event_time, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                 AS session_id
+        FROM (
+            SELECT event_id, doc_id, event_time,
+                   CASE WHEN epoch_us(event_time) - lag(epoch_us(event_time))
+                          OVER (PARTITION BY doc_id ORDER BY event_time, event_id)
+                        > 1800 * 1000000 OR
+                        lag(event_time) OVER (PARTITION BY doc_id
+                                              ORDER BY event_time, event_id) IS NULL
+                   THEN 1 ELSE 0 END AS is_new
+            FROM seq
+        )
+        """
+    ),
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 1800s -> new session); equal
+    timestamps tie-broken by event_id for cross-engine determinism."""
+    from go_html_transform_spark.operators.window import entity_window
+
+    seq = S.sequences(spark, sf_dir)
+    w = entity_window(order_by=["event_time", "event_id"])
+    secs = F.col("event_time").cast("timestamp").cast("long")
+    from pyspark.sql import Window as _W
+
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    out = seq.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(_W.unboundedPreceding, 0)) - 1,
+    )
+    return out.select("event_id", "session_id")
+
+
+@register(
+    "window_forward_fill",
+    _cte(
+        """
+        SELECT event_id,
+               ROUND(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY event_time, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS value_ffill
+        FROM (
+            SELECT event_id, doc_id, event_time,
+                   CASE WHEN event_type = 'purchase' THEN value END AS v
+            FROM seq
+        )
+        """
+    ),
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill: last purchase value at or before each event
+    (FirstMatch-fallback analogue, transform.go:30-39); event_id
+    tie-break for determinism."""
+    seq = S.sequences(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("doc_id")
+        .orderBy("event_time", "event_id")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return seq.select(
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("value_ffill"),
+    )
+
+
+@register(
+    "window_time_rolling_count",
+    _cte(
+        """
+        SELECT event_id, CAST(cnt_3600s AS BIGINT) AS cnt_3600s
+        FROM (
+            SELECT event_id,
+                   COUNT(*) OVER (PARTITION BY doc_id ORDER BY CAST(epoch_us(event_time)/1000000 AS BIGINT)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_3600s
+            FROM seq
+        )
+        """
+    ),
+)
+def window_time_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per trailing hour per entity (rangeBetween on epoch secs)."""
+    from go_html_transform_spark.operators import window as W
+
+    seq = S.sequences(spark, sf_dir)
+    return W.time_rolling_count(seq, seconds=3600).select(
+        "event_id", F.col("cnt_3600s").cast("bigint").alias("cnt_3600s")
+    )
+
+
+@register(
+    "window_rank_first_event",
+    _cte(
+        """
+        SELECT event_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY event_time, event_id)
+                 AS event_seq
+        FROM seq
+        """
+    ),
+)
+def window_rank_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per entity — :first-child temporal analogue."""
+    from pyspark.sql import Window as _W
+
+    seq = S.sequences(spark, sf_dir)
+    w = _W.partitionBy("doc_id").orderBy("event_time", "event_id")
+    return seq.select("event_id", F.row_number().over(w).alias("event_seq"))

@@ -1,0 +1,129 @@
+"""F5 — window/session/backfill fixtures + the zero-leakage property test
+(FIXTURES.md; north rule BASELINE.json:14)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import window as W
+
+BASE = dt.datetime(2026, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, event_time timestamp, n_tok int, value double"
+    )
+
+
+def _times(*offsets):
+    return [BASE + dt.timedelta(seconds=o) for o in offsets]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    t = _times(0, 10, 30, 3630, 3645)
+    rows = [
+        ("a", t[0], 5, 1.0),
+        ("a", t[1], 3, None),
+        ("a", t[2], 7, 2.0),
+        ("a", t[3], 2, None),
+        ("a", t[4], 4, None),
+        ("b", t[0], 10, 9.0),
+    ]
+    return _df(spark, rows)
+
+
+def test_lag_lead(spark, tiny):
+    out = W.lag_lead(tiny, ["n_tok"], [1])
+    a = (
+        out.filter("doc_id = 'a'")
+        .orderBy("event_time")
+        .select("n_tok_lag1", "n_tok_lead1")
+        .collect()
+    )
+    assert [r.n_tok_lag1 for r in a] == [None, 5, 3, 7, 2]
+    assert [r.n_tok_lead1 for r in a] == [3, 7, 2, 4, None]
+
+
+def test_rolling_bounded_at_current(spark, tiny):
+    out = W.rolling(tiny, "n_tok", 2, aggs=("sum",))
+    a = out.filter("doc_id='a'").orderBy("event_time").select("n_tok_rsum2").collect()
+    # trailing window of 3 rows incl current: [5],[5,3],[5,3,7],[3,7,2],[7,2,4]
+    assert [r.n_tok_rsum2 for r in a] == [5, 8, 15, 12, 13]
+
+
+def test_sessionize_gap_pattern(spark, tiny):
+    # gaps: -,10,20,3600,15 -> sessions [0,0,0,1,1] (FIXTURES.md F5)
+    out = W.sessionize(tiny, gap_seconds=1800)
+    a = out.filter("doc_id='a'").orderBy("event_time").select("session_id").collect()
+    assert [r.session_id for r in a] == [0, 0, 0, 1, 1]
+    b = out.filter("doc_id='b'").select("session_id").collect()
+    assert [r.session_id for r in b] == [0]  # partitions are independent
+
+
+def test_forward_fill(spark, tiny):
+    out = W.forward_fill(tiny, ["value"])
+    a = out.filter("doc_id='a'").orderBy("event_time").select("value_ffill").collect()
+    assert [r.value_ffill for r in a] == [1.0, 1.0, 2.0, 2.0, 2.0]
+
+
+def test_time_rolling_count(spark, tiny):
+    out = W.time_rolling_count(tiny, seconds=60)
+    a = out.filter("doc_id='a'").orderBy("event_time").select("cnt_60s").collect()
+    # events at 0,10,30 within 60s of each other; 3630,3645 form their own window
+    assert [r.cnt_60s for r in a] == [1, 2, 3, 1, 2]
+
+
+def test_rank_features(spark, tiny):
+    out = W.rank_features(tiny)
+    a = out.filter("doc_id='a'").orderBy("event_time").collect()
+    assert [r.event_seq for r in a] == [1, 2, 3, 4, 5]
+    assert [r.is_first_event for r in a] == [1, 0, 0, 0, 0]
+
+
+def test_zero_temporal_leakage(spark, tiny):
+    """THE leakage property (north rule): perturb every row after time T;
+    features at rows <= T must be bit-identical."""
+    cutoff = BASE + dt.timedelta(seconds=30)
+
+    def features(df):
+        out = W.add_features(df, gap_seconds=1800, rolling_k=3)
+        # lead/lag1 of value is in add_features? value_lag1 yes (backward).
+        return {
+            (r.doc_id, r.event_time): (
+                r.n_tok_lag1,
+                r.value_lag1,
+                r.n_tok_rsum3,
+                r.n_tok_rmean3,
+                r.session_id,
+                r.value_ffill,
+                r.event_seq,
+            )
+            for r in out.collect()
+            if r.event_time <= cutoff
+        }
+
+    base_feats = features(tiny)
+
+    perturbed = tiny.withColumn(
+        "n_tok",
+        F.when(F.col("event_time") > F.lit(cutoff), F.col("n_tok") * 100).otherwise(
+            F.col("n_tok")
+        ),
+    ).withColumn(
+        "value",
+        F.when(F.col("event_time") > F.lit(cutoff), F.lit(777.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    assert features(perturbed) == base_feats
+
+
+def test_single_shuffle_plan(spark, tiny):
+    """All bundled window features must share ONE exchange + ONE sort —
+    the scale-critical property (SURVEY §4)."""
+    plan = W.add_features(tiny)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.lower().count("sort ") <= 2, plan
