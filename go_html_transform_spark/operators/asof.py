@@ -1,0 +1,225 @@
+"""Distributed sort-merge as-of join (backward / forward / nearest, with
+tolerance) — the temporal generalization of the reference's AdjacentSibling
+"nearest preceding/following match" (/root/reference/css/selector/data.go:292-299),
+and the centerpiece of the north rule (BASELINE.json).
+
+OSS Spark SQL has no as-of join; the engine provides two physical
+strategies, both Arrow-batched (never per-row Python):
+
+``strategy='cogroup'`` (default)
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` with a
+    ``pandas.merge_asof`` per entity. One shuffle per side on the entity
+    key. Right choice when entities are plentiful and each entity's
+    timeline fits in a task (the common case: 10^12 rows / 10^8 doc_ids).
+
+``strategy='bucketed'`` (skew/scale path)
+    Entities with huge timelines are split into TIME BUCKETS so no single
+    task holds a whole hot entity. Correctness across bucket edges is
+    restored by replicating boundary rows (SURVEY.md §4 item 1):
+
+    * backward: a left row early in bucket b may need the latest right row
+      from ANY earlier bucket -> compute one summary row per non-empty
+      (entity, right-bucket) = the latest right row of that bucket, then a
+      range window (``rangeBetween(-inf, -1)`` over bucket id) selects, for
+      every bucket, the latest summary strictly before it — the carry-in.
+    * forward: mirror image (earliest right row of later buckets).
+    * nearest: both carries.
+
+    The merge then cogroups on (entity, bucket): right rows of the bucket +
+    at most 2 carried rows. Bucket width is a tuning knob; carries add at
+    most 2 rows per (entity, bucket).
+
+Determinism: right side is first reduced to one row per (key, time) —
+ties on the as-of key would otherwise make the winner engine-dependent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+DIRECTIONS = ("backward", "forward", "nearest")
+
+
+def _dedupe_right(right: DataFrame, on: str, right_time: str) -> DataFrame:
+    """One row per (key, time): keep the max over remaining columns —
+    deterministic regardless of partitioning."""
+    value_cols = [c for c in right.columns if c not in (on, right_time)]
+    return right.groupBy(on, right_time).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
+
+
+def _output_schema(left: DataFrame, right: DataFrame, on: str, right_time: str) -> T.StructType:
+    fields = list(left.schema.fields)
+    for f in right.schema.fields:
+        if f.name in (on, right_time):
+            continue
+        fields.append(T.StructField(f.name, f.dataType, nullable=True))
+    return T.StructType(fields)
+
+
+def _merge_fn(
+    left_cols: list[str],
+    right_value_cols: list[str],
+    left_time: str,
+    right_time: str,
+    direction: str,
+    tolerance: float | None,
+):
+    out_cols = left_cols + right_value_cols
+    tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        l = l.sort_values(left_time, kind="mergesort")
+        if r.empty:
+            out = l.copy()
+            for c in right_value_cols:
+                out[c] = None
+            return out[out_cols]
+        r = (
+            r[[right_time] + right_value_cols]
+            .dropna(subset=[right_time])
+            .sort_values(right_time, kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            l,
+            r,
+            left_on=left_time,
+            right_on=right_time,
+            direction=direction,
+            tolerance=tol,
+        )
+        return merged[out_cols]
+
+    return merge
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "doc_id",
+    left_time: str = "event_time",
+    right_time: str = "obs_time",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    strategy: str = "cogroup",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """As-of join ``left`` to ``right`` per entity ``on``.
+
+    Returns left columns + right value columns (null where no match within
+    direction/tolerance). ``tolerance`` is in seconds.
+    """
+    if direction not in DIRECTIONS:
+        raise ValueError(f"direction must be one of {DIRECTIONS}")
+    if strategy not in ("cogroup", "bucketed"):
+        raise ValueError("strategy must be 'cogroup' or 'bucketed'")
+
+    right = _dedupe_right(right, on, right_time)
+    schema = _output_schema(left, right, on, right_time)
+    right_value_cols = [c for c in right.columns if c not in (on, right_time)]
+    fn = _merge_fn(
+        left.columns, right_value_cols, left_time, right_time, direction, tolerance
+    )
+
+    if strategy == "cogroup":
+        return (
+            left.groupBy(on)
+            .cogroup(right.groupBy(on))
+            .applyInPandas(lambda l, r: fn(l, r), schema)
+        )
+
+    # ---- bucketed strategy -------------------------------------------------
+    bsec = int(bucket_seconds)
+    lb = left.withColumn(
+        "__bucket",
+        F.floor(F.col(left_time).cast("timestamp").cast("long") / bsec).cast("long"),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.floor(F.col(right_time).cast("timestamp").cast("long") / bsec).cast("long"),
+    )
+
+    payload = F.struct(right_time, *right_value_cols)
+
+    # Carry-in computation: union the per-bucket right summaries with the
+    # left bucket grid, then a running last/first over the union gives each
+    # left bucket the latest summary STRICTLY before it (resp. earliest
+    # strictly after). Right buckets absent from the left grid still
+    # propagate — the window runs over the union, not a join.
+    grid = lb.select(on, "__bucket").distinct()
+    carries = []
+    if direction in ("backward", "nearest"):
+        last_per_bucket = rb.groupBy(on, "__bucket").agg(
+            F.max_by(payload, F.col(right_time)).alias("__p")
+        )
+        ptype = last_per_bucket.schema["__p"].dataType
+        # summaries sort AFTER the grid row of the same bucket (tag 2 > 1)
+        # so a same-bucket summary is excluded from the strict-past frame.
+        u = last_per_bucket.select(on, "__bucket", "__p", F.lit(2).alias("__tag")).unionByName(
+            grid.select(on, "__bucket", F.lit(None).cast(ptype).alias("__p"), F.lit(1).alias("__tag"))
+        )
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__bucket", "__tag")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_b = (
+            u.withColumn("__carry", F.last("__p", ignorenulls=True).over(w))
+            .filter((F.col("__tag") == 1) & F.col("__carry").isNotNull())
+            .select(on, "__bucket", F.col("__carry").alias("__p"))
+        )
+        carries.append(carry_b)
+    if direction in ("forward", "nearest"):
+        first_per_bucket = rb.groupBy(on, "__bucket").agg(
+            F.min_by(payload, F.col(right_time)).alias("__p")
+        )
+        ptype = first_per_bucket.schema["__p"].dataType
+        # summaries sort BEFORE the grid row of the same bucket (tag 0 < 1)
+        # so a same-bucket summary is excluded from the strict-future frame.
+        u = first_per_bucket.select(on, "__bucket", "__p", F.lit(0).alias("__tag")).unionByName(
+            grid.select(on, "__bucket", F.lit(None).cast(ptype).alias("__p"), F.lit(1).alias("__tag"))
+        )
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__bucket", "__tag")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_f = (
+            u.withColumn("__carry", F.first("__p", ignorenulls=True).over(w))
+            .filter((F.col("__tag") == 1) & F.col("__carry").isNotNull())
+            .select(on, "__bucket", F.col("__carry").alias("__p"))
+        )
+        carries.append(carry_f)
+
+    r_parts = [rb.select(on, "__bucket", payload.alias("__p"))]
+    r_parts.extend(carries)
+    r_all = r_parts[0]
+    for p in r_parts[1:]:
+        r_all = r_all.unionByName(p)
+    r_expanded = r_all.select(
+        on, "__bucket", F.col("__p." + right_time).alias(right_time),
+        *[F.col("__p." + c).alias(c) for c in right_value_cols],
+    ).dropDuplicates([on, "__bucket", right_time])
+
+    out_schema = T.StructType(list(schema.fields))
+
+    def fn2(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not l.empty:
+            l = l.drop(columns=["__bucket"])
+        if not r.empty:
+            r = r.drop(columns=["__bucket"])
+        return fn(l, r)
+
+    return (
+        lb.groupBy(on, "__bucket")
+        .cogroup(r_expanded.groupBy(on, "__bucket"))
+        .applyInPandas(lambda l, r: fn2(l, r), out_schema)
+    )

@@ -534,3 +534,131 @@ def window_rank_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = S.sequences(spark, sf_dir)
     w = _W.partitionBy("doc_id").orderBy("event_time", "event_id")
     return seq.select("event_id", F.row_number().over(w).alias("event_seq"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 as-of join (operators/asof.py) — the north-rule centerpiece
+# ---------------------------------------------------------------------------
+
+
+def _asof_spark(spark, sf_dir, direction, tolerance=None, strategy="cogroup"):
+    from go_html_transform_spark.operators.asof import asof_join
+
+    seq = S.sequences(spark, sf_dir).select(
+        "doc_id", "event_time", "event_id", "n_tok"
+    )
+    lab = S.labels(spark, sf_dir)
+    out = asof_join(
+        seq,
+        lab,
+        on="doc_id",
+        left_time="event_time",
+        right_time="obs_time",
+        direction=direction,
+        tolerance=tolerance,
+        strategy=strategy,
+        bucket_seconds=7 * 86400,
+    )
+    return out.select("event_id", F.round("label_value", 4).alias("label_value"))
+
+
+# right side is deduped to one row per (doc_id, obs_time) keeping MAX value
+# (engine determinism rule) — mirror that in the oracle CTE.
+_LAB_DEDUP = """
+    labd AS (SELECT doc_id, obs_time, MAX(label_value) AS label_value
+             FROM lab GROUP BY doc_id, obs_time)
+"""
+
+
+@register(
+    "asof_backward",
+    _cte(
+        f""", {_LAB_DEDUP}
+        SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time
+        """
+    ),
+)
+def asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: latest label at or before each event — zero
+    temporal leakage by construction (nearest PRECEDING match; temporal
+    generalization of AdjacentSibling-prev, data.go:292-299)."""
+    return _asof_spark(spark, sf_dir, "backward")
+
+
+@register(
+    "asof_forward",
+    _cte(
+        f""", {_LAB_DEDUP}
+        SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time
+        """
+    ),
+)
+def asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: earliest label at or after each event (label side —
+    deliberately future-reading, like lead())."""
+    return _asof_spark(spark, sf_dir, "forward")
+
+
+@register(
+    "asof_nearest",
+    _cte(
+        f""", {_LAB_DEDUP},
+        b AS (SELECT s.event_id, s.event_time, l.obs_time AS bt, l.label_value AS bv
+              FROM seq s ASOF LEFT JOIN labd l
+                ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time),
+        f AS (SELECT s.event_id, l.obs_time AS ft, l.label_value AS fv
+              FROM seq s ASOF LEFT JOIN labd l
+                ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time)
+        SELECT b.event_id,
+               ROUND(CASE
+                 WHEN b.bt IS NULL THEN f.fv
+                 WHEN f.ft IS NULL THEN b.bv
+                 WHEN epoch_us(b.event_time) - epoch_us(b.bt)
+                      <= epoch_us(f.ft) - epoch_us(b.event_time) THEN b.bv
+                 ELSE f.fv END, 4) AS label_value
+        FROM b JOIN f ON b.event_id = f.event_id
+        """
+    ),
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of; equidistant ties prefer backward (pandas semantics,
+    pinned by test)."""
+    return _asof_spark(spark, sf_dir, "nearest")
+
+
+@register(
+    "asof_backward_tolerance",
+    _cte(
+        f""", {_LAB_DEDUP}
+        SELECT s.event_id,
+               ROUND(CASE WHEN epoch_us(s.event_time) - epoch_us(l.obs_time)
+                          <= 600 * 1000000
+                     THEN l.label_value END, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time
+        """
+    ),
+)
+def asof_backward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with 600s tolerance: stale labels are nulled."""
+    return _asof_spark(spark, sf_dir, "backward", tolerance=600)
+
+
+@register(
+    "asof_backward_bucketed",
+    _cte(
+        f""", {_LAB_DEDUP}
+        SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time
+        """
+    ),
+)
+def asof_backward_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through the range-bucketed physical strategy (boundary-row
+    replication; SURVEY §4 item 1) — must be plan-invisible to the user."""
+    return _asof_spark(spark, sf_dir, "backward", strategy="bucketed")

@@ -1,0 +1,144 @@
+"""M4 — as-of join correctness vs a pandas.merge_asof oracle (FIXTURES.md F2):
+directions x tolerance x strategy x bucket-boundary cases."""
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+
+from go_html_transform_spark.operators.asof import asof_join
+
+BASE = dt.datetime(2026, 1, 1)
+
+
+def _mk_fixture(seed=42, n_docs=12, n_left=8, n_right=5):
+    """Left/right with deliberately offset irregular times; some doc_ids
+    missing from the right (no-match paths)."""
+    rng = random.Random(seed)
+    left, right = [], []
+    for i in range(n_docs):
+        d = f"d{i:03d}"
+        t = 0
+        for _ in range(n_left):
+            t += rng.randrange(60, 7200)
+            left.append((d, BASE + dt.timedelta(seconds=t), float(t)))
+        if i % 4 == 3:
+            continue  # missing entity on the right
+        t = rng.randrange(-1800, 1800)
+        for _ in range(n_right):
+            t += rng.randrange(300, 14400)
+            right.append((d, BASE + dt.timedelta(seconds=t), round(t / 10.0, 1)))
+    # duplicate right timestamp for dedup determinism check
+    if right:
+        d0, t0, _ = right[0]
+        right.append((d0, t0, -999.0))
+    return left, right
+
+
+def _spark_dfs(spark, left, right):
+    l = spark.createDataFrame(left, "doc_id string, event_time timestamp, lval double")
+    r = spark.createDataFrame(right, "doc_id string, obs_time timestamp, label_value double")
+    return l, r
+
+
+def _pandas_oracle(left, right, direction, tolerance):
+    lp = pd.DataFrame(left, columns=["doc_id", "event_time", "lval"]).sort_values(
+        "event_time", kind="mergesort"
+    )
+    rp = pd.DataFrame(right, columns=["doc_id", "obs_time", "label_value"])
+    # engine semantics: right deduped to one row per (key, time) keeping max
+    rp = (
+        rp.groupby(["doc_id", "obs_time"], as_index=False)["label_value"]
+        .max()
+        .sort_values("obs_time", kind="mergesort")
+    )
+    tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+    out = pd.merge_asof(
+        lp,
+        rp,
+        left_on="event_time",
+        right_on="obs_time",
+        by="doc_id",
+        direction=direction,
+        tolerance=tol,
+    )
+    return {
+        (r.doc_id, r.event_time): (None if pd.isna(r.label_value) else r.label_value)
+        for r in out.itertuples()
+    }
+
+
+def _engine_result(df):
+    return {
+        (r.doc_id, r.event_time): r.label_value for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 600])
+@pytest.mark.parametrize("strategy", ["cogroup", "bucketed"])
+def test_asof_matches_pandas(spark, direction, tolerance, strategy):
+    left, right = _mk_fixture()
+    l, r = _spark_dfs(spark, left, right)
+    got = asof_join(
+        l,
+        r,
+        direction=direction,
+        tolerance=tolerance,
+        strategy=strategy,
+        bucket_seconds=3600,  # small buckets -> many carries exercised
+    )
+    assert _engine_result(got) == _pandas_oracle(left, right, direction, tolerance)
+
+
+def test_asof_empty_right(spark):
+    left, _ = _mk_fixture()
+    l, r = _spark_dfs(spark, left, [])
+    for strategy in ("cogroup", "bucketed"):
+        got = asof_join(l, r, strategy=strategy)
+        res = _engine_result(got)
+        assert len(res) == len(left)
+        assert all(v is None for v in res.values())
+
+
+def test_asof_carry_across_many_empty_buckets(spark):
+    """A right row many buckets before the left row must still be visible
+    (the carry is a running last over ALL earlier buckets, not just b-1)."""
+    left = [("d0", BASE + dt.timedelta(days=30), 1.0)]
+    right = [("d0", BASE, 42.0)]
+    l, r = _spark_dfs(spark, left, right)
+    got = asof_join(l, r, strategy="bucketed", bucket_seconds=3600)
+    assert list(_engine_result(got).values()) == [42.0]
+
+
+def test_asof_forward_carry(spark):
+    left = [("d0", BASE, 1.0)]
+    right = [("d0", BASE + dt.timedelta(days=30), 43.0)]
+    l, r = _spark_dfs(spark, left, right)
+    got = asof_join(l, r, direction="forward", strategy="bucketed", bucket_seconds=3600)
+    assert list(_engine_result(got).values()) == [43.0]
+    # backward direction must NOT see the future row
+    got_b = asof_join(l, r, direction="backward", strategy="bucketed", bucket_seconds=3600)
+    assert list(_engine_result(got_b).values()) == [None]
+
+
+def test_asof_exact_timestamp_inclusive(spark):
+    """merge_asof is inclusive: a right row AT the left timestamp matches
+    in every direction — zero leakage means 'no data after t', data AT t
+    is legal."""
+    left = [("d0", BASE, 1.0)]
+    right = [("d0", BASE, 7.0)]
+    l, r = _spark_dfs(spark, left, right)
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(l, r, direction=direction)
+        assert list(_engine_result(got).values()) == [7.0]
+
+
+def test_asof_right_dedup_deterministic(spark):
+    """Duplicate (key, time) on the right: engine keeps max(value) — the
+    -999 decoy must never win."""
+    left, right = _mk_fixture()
+    l, r = _spark_dfs(spark, left, right)
+    got = asof_join(l, r, direction="backward")
+    assert -999.0 not in set(_engine_result(got).values())
