@@ -1,0 +1,147 @@
+"""Benchmark harness — north-star metric: sequences/sec end-to-end
+(as-of join + windowed features) at SF=0.1 (BASELINE.json).
+
+Runs the headline stages at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {<stage>: sec, ...}, "sf": ..., "sequences_per_sec": ...}
+
+Scaling evidence (N vs 4N cores): tools/bench_scaling.py runs this script
+at SPARK_GRAFT_CPUS=8 and 32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from go_html_transform_spark.operators import transforms as X
+    from go_html_transform_spark.operators.asof import asof_join
+    from go_html_transform_spark.operators.window import add_features
+    from go_html_transform_spark.plans.pipeline import Transformer
+    from go_html_transform_spark.session import get_spark
+    from go_html_transform_spark.sources import tables as S
+
+    spark = get_spark(
+        app_name=f"bench-{cpus}",
+        cores=cpus,
+        shuffle_partitions=max(8, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_part = max(8, 2 * cpus)
+    seq = S.sequences(spark, sf_dir, repartition=n_part)
+    lab = S.labels(spark, sf_dir)
+
+    # Optional deterministic replication for the scaling runs: the sandbox
+    # SFs are small enough that JVM/task overheads swamp the compute; the
+    # N-vs-4N evidence needs a compute-bound working set. Replication
+    # suffixes doc_id so the ENTITY count scales with the row count (as it
+    # would at 10^12 rows), keeping per-entity timelines identical.
+    rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    if rep > 1:
+        r = spark.range(rep).select(F.col("id").alias("__rep"))
+
+        def replicate(df, id_col):
+            return (
+                df.crossJoin(F.broadcast(r))
+                .withColumn(
+                    "doc_id", F.concat("doc_id", F.lit("#"), F.col("__rep"))
+                )
+                .withColumn(id_col, F.col(id_col) * rep + F.col("__rep"))
+                .drop("__rep")
+            )
+
+        seq = replicate(seq, "event_id")
+        lab = (
+            lab.crossJoin(F.broadcast(r))
+            .withColumn("doc_id", F.concat("doc_id", F.lit("#"), F.col("__rep")))
+            .drop("__rep")
+        )
+
+    n_sequences = seq.count()  # warms the JVM + dim broadcast
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # stage 1: selector-rule token transform (scan -> match -> rewrite)
+    tr = (
+        Transformer(seq)
+        .apply("t982", lambda t, p: X.append_children(t, [1023]))
+        .apply(
+            "t756 > t982",
+            lambda t, p: X.subtransform(t, lambda tok: tok == 756, lambda tok: tok + 1),
+        )
+    )
+    timed("rule_transform", lambda: tr.df.write.format("noop").mode("overwrite").save())
+
+    # stage 2: as-of join (backward, cogrouped)
+    joined = asof_join(
+        seq.select("doc_id", "event_time", "event_id", "n_tok", "source", "value"),
+        lab,
+        direction="backward",
+    )
+    timed("asof_join", lambda: joined.write.format("noop").mode("overwrite").save())
+
+    # stage 3: windowed feature bundle (single shuffle + sort)
+    feats = add_features(
+        seq.select("doc_id", "event_time", "event_id", "n_tok", "value")
+    )
+    timed("window_features", lambda: feats.write.format("noop").mode("overwrite").save())
+
+    # headline: full pipeline end-to-end INCLUDING the parquet sink
+    out_dir = tempfile.mkdtemp(prefix="ghts_bench_")
+    try:
+        full = add_features(
+            asof_join(
+                tr.df.select(
+                    "doc_id", "event_time", "event_id", "tokens", "n_tok", "source", "value"
+                ),
+                lab,
+                direction="backward",
+            )
+        )
+        timed(
+            "full_pipeline",
+            lambda: full.write.mode("overwrite").parquet(f"{out_dir}/out"),
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "end-to-end pipeline seconds (rule transform + as-of join + windowed features + sink) over pre-tokenized sequences",
+        "value": timings["full_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_sequences": n_sequences,
+        "sequences_per_sec": round(n_sequences / timings["full_pipeline"], 1),
+        "total_sec": total,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

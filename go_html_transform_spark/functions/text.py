@@ -1,0 +1,162 @@
+"""Text-analysis kernels for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column arithmetic (JVM-side, codegen'd) with DuckDB SQL twins for
+the oracle — same cross-engine discipline as functions/tokenize.py. No
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (heuristic n-gram-free language ID) —
+# deterministic and identical in both engines. Order = tie-break priority.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+FP_MOD = 2**31 - 1  # fingerprint modulus (Mersenne, fits int64 everywhere)
+FP_MUL = 31
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
+
+
+def words_sql(text: str = "text") -> str:
+    return f"list_filter(string_split({text}, ' '), w -> length(w) > 0)"
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(_words(text), lambda w: F.lower(w).isin(*sw)))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hits; ties resolve in STOPWORDS
+    order; all-zero -> 'unknown'."""
+    hits = {lang: lang_hits(text, lang) for lang in STOPWORDS}
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:  # first language wins ties (> strictly)
+        is_better = hits[lang] > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits[lang]).otherwise(best_hits)
+    return best
+
+
+def lang_id_sql(text: str = "text") -> str:
+    hit = {
+        lang: (
+            f"len(list_filter({words_sql(text)}, w -> lower(w) IN "
+            f"({', '.join(repr(s) for s in sw)})))"
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    expr = "'unknown'"
+    cond = "0"
+    # fold in reverse so the FIRST language wins ties, mirroring lang_id()
+    for lang in langs:
+        expr = f"CASE WHEN {hit[lang]} > {cond} THEN '{lang}' ELSE {expr} END"
+        cond = f"CASE WHEN {hit[lang]} > {cond} THEN {hit[lang]} ELSE {cond} END"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] score: length saturation + stopword ratio + mean
+    word length band + distinct-word ratio. Weights fixed forever."""
+    words = _words(text)
+    n = F.size(words)
+    nn = F.greatest(n, F.lit(1)).cast("double")
+    len_sat = F.least(n / F.lit(64.0), F.lit(1.0))
+    sw = STOPWORDS["en"]
+    stop_ratio = F.size(F.filter(words, lambda w: F.lower(w).isin(*sw))) / nn
+    mean_wlen = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / nn
+    )
+    wlen_band = F.least(mean_wlen / F.lit(8.0), F.lit(1.0))
+    distinct_ratio = F.size(F.array_distinct(words)) / nn
+    return F.round(
+        0.3 * len_sat + 0.2 * stop_ratio + 0.2 * wlen_band + 0.3 * distinct_ratio, 6
+    )
+
+
+def quality_score_sql(text: str = "text") -> str:
+    w = words_sql(text)
+    sw = ", ".join(repr(s) for s in STOPWORDS["en"])
+    return (
+        f"ROUND("
+        f"0.3 * LEAST(len({w}) / 64.0, 1.0)"
+        f" + 0.2 * (len(list_filter({w}, x -> lower(x) IN ({sw})))"
+        f"          / GREATEST(len({w}), 1))"
+        f" + 0.2 * LEAST((list_sum(list_transform({w}, x -> length(x)))"
+        f"               / GREATEST(len({w}), 1)) / 8.0, 1.0)"
+        f" + 0.3 * (len(list_distinct({w})) / GREATEST(len({w}), 1))"
+        f", 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(_words(text))
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish estimate without a vocab: ceil(len(word)/4) subwords per
+    word — the standard chars/4 heuristic, exact integer arithmetic."""
+    return F.aggregate(
+        _words(text), F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int")
+    )
+
+
+def subword_token_count_sql(text: str = "text") -> str:
+    return (
+        f"COALESCE(list_sum(list_transform({words_sql(text)},"
+        f" w -> CAST(ceil(length(w) / 4.0) AS INTEGER))), 0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (order-sensitive rolling hash over token ids)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(tokens: Column) -> Column:
+    """acc = (acc*31 + t) mod (2^31-1) over the token sequence — the
+    rolling-hash analogue of the reference's rendered-string identity
+    (h5/h5.go:40-54 golden-string equality)."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_MUL + t) % FP_MOD,
+    )
+
+
+def fingerprint_sql(tokens: str = "tokens") -> str:
+    # list_reduce seeds with the first element, so prepend the 0 seed
+    return (
+        f"COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({tokens}, t -> CAST(t AS BIGINT))), "
+        f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD}), 0)"
+    )

@@ -70,7 +70,12 @@ def _merge_fn(
     right_time: str,
     direction: str,
     tolerance: float | None,
+    by: str | None = None,
 ):
+    """Per-cogroup merge. ``by`` set => the group holds MANY entities
+    (coarse hash-bucket cogrouping) and merge_asof handles the per-entity
+    alignment itself — one pandas call per bucket instead of per entity,
+    which is what makes the Python stage scale."""
     out_cols = left_cols + right_value_cols
     tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
 
@@ -83,8 +88,9 @@ def _merge_fn(
             for c in right_value_cols:
                 out[c] = None
             return out[out_cols]
+        rcols = ([by] if by else []) + [right_time] + right_value_cols
         r = (
-            r[[right_time] + right_value_cols]
+            r[rcols]
             .dropna(subset=[right_time])
             .sort_values(right_time, kind="mergesort")
         )
@@ -93,6 +99,7 @@ def _merge_fn(
             r,
             left_on=left_time,
             right_on=right_time,
+            by=by,
             direction=direction,
             tolerance=tol,
         )
@@ -111,11 +118,19 @@ def asof_join(
     tolerance: float | None = None,
     strategy: str = "cogroup",
     bucket_seconds: int = 86400,
+    num_groups: int | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to ``right`` per entity ``on``.
 
     Returns left columns + right value columns (null where no match within
     direction/tolerance). ``tolerance`` is in seconds.
+
+    ``num_groups``: coarse cogroup width for the default strategy — the
+    entity space is hash-folded into this many buckets and each Arrow batch
+    merges a whole bucket with ``merge_asof(by=on)``. Per-entity cogrouping
+    (one pandas call per entity) would drown in per-group overhead at
+    10^8 entities; bucketing amortizes it while the merge stays exactly
+    per-entity. Defaults to 4x default parallelism.
     """
     if direction not in DIRECTIONS:
         raise ValueError(f"direction must be one of {DIRECTIONS}")
@@ -125,16 +140,34 @@ def asof_join(
     right = _dedupe_right(right, on, right_time)
     schema = _output_schema(left, right, on, right_time)
     right_value_cols = [c for c in right.columns if c not in (on, right_time)]
+
+    if strategy == "cogroup":
+        spark = left.sparkSession
+        n_groups = num_groups or max(16, spark.sparkContext.defaultParallelism * 4)
+        fn = _merge_fn(
+            left.columns, right_value_cols, left_time, right_time,
+            direction, tolerance, by=on,
+        )
+        gcol = lambda c: F.pmod(F.xxhash64(c), F.lit(n_groups)).cast("int")  # noqa: E731
+        lg = left.withColumn("__g", gcol(F.col(on)))
+        rg = right.withColumn("__g", gcol(F.col(on)))
+
+        def fn_bucket(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            if not l.empty:
+                l = l.drop(columns=["__g"])
+            if not r.empty:
+                r = r.drop(columns=["__g"])
+            return fn(l, r)
+
+        return (
+            lg.groupBy("__g")
+            .cogroup(rg.groupBy("__g"))
+            .applyInPandas(fn_bucket, schema)
+        )
+
     fn = _merge_fn(
         left.columns, right_value_cols, left_time, right_time, direction, tolerance
     )
-
-    if strategy == "cogroup":
-        return (
-            left.groupBy(on)
-            .cogroup(right.groupBy(on))
-            .applyInPandas(lambda l, r: fn(l, r), schema)
-        )
 
     # ---- bucketed strategy -------------------------------------------------
     bsec = int(bucket_seconds)

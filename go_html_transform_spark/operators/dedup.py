@@ -1,0 +1,285 @@
+"""Deduplication operators for the large-scale training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 10^12 rows:
+
+* exact: hash-groupBy on a canonical key — one shuffle, map-side partial.
+* MinHash+LSH: signatures are array-native Column arithmetic (no UDF, no
+  shuffle); banding turns near-dup detection into an equi-join on
+  (band_id, band_key) — candidates only, verified by true Jaccard. The
+  band join is the ONLY shuffle, and its key cardinality is huge (good
+  distribution); identical-band groups are the natural skew risk —
+  cap group size or salt verify stage if a degenerate corpus demands it.
+* SimHash: 16-bit signature via pure bit arithmetic; Hamming-adjacent
+  buckets join.
+* n-gram Jaccard: shingles packed into int64 (t0<<20|t1<<10|t2), same
+  LSH machinery.
+
+Hash families are small-integer affine (a*t + b) mod P with constants
+fixed below — expressible identically in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MINHASH_P = 524287  # 2^19 - 1, prime
+MINHASH_A = 40503
+MINHASH_B = 69621
+SIMHASH_P = 65536
+SIMHASH_A = 40503
+SIMHASH_B = 9973
+SHINGLE_BASE = 1024  # vocab size; shingle = t0*B^2 + t1*B + t2
+
+
+def _h(i: int, t: Column) -> Column:
+    """i-th affine hash over token id t; constants small enough that
+    a*t+b < 2^40 — safe int64 in Spark and DuckDB."""
+    a = (2 * i + 1) * MINHASH_A % MINHASH_P
+    b = i * MINHASH_B % MINHASH_P
+    return (t.cast("long") * a + b) % MINHASH_P
+
+
+def h_sql(i: int, t: str = "t") -> str:
+    a = (2 * i + 1) * MINHASH_A % MINHASH_P
+    b = i * MINHASH_B % MINHASH_P
+    return f"(CAST({t} AS BIGINT) * {a} + {b}) % {MINHASH_P}"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Groups with >1 member on the canonical key: returns
+    (dup_key, n_dups, canonical_id=min(id))."""
+    return (
+        df.select(F.col(id_col), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Keep one row (min id) per canonical key — the identity-set dedup of
+    Chain.Find (css/selector/data.go:330,336-341) lifted to corpus scale."""
+    ranked = df.withColumn("__key", key).withColumn(
+        "__rk",
+        F.row_number().over(Window.partitionBy("__key").orderBy(id_col)),
+    )
+    return ranked.filter(F.col("__rk") == 1).drop("__key", "__rk")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(tokens: Column, num_hashes: int = 16) -> Column:
+    """array<bigint> of per-hash minima over the DISTINCT token set.
+    Empty sets get sentinel P (never collides with real minima)."""
+    uniq = F.array_distinct(tokens)
+
+    def hasher(i: int):
+        # closure factory — a `_i=i` default would be miscounted by
+        # PySpark's lambda-arity inspection as the (element, index) form
+        return lambda t: _h(i, t)
+
+    sig = [
+        F.coalesce(F.array_min(F.transform(uniq, hasher(i))), F.lit(MINHASH_P))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_signature_sql(tokens: str = "tokens", num_hashes: int = 16) -> str:
+    parts = [
+        f"COALESCE(list_min(list_transform(list_distinct({tokens}), "
+        f"t -> {h_sql(i)})), {MINHASH_P})"
+        for i in range(num_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def lsh_bands(sig: Column, bands: int = 4, rows: int = 4) -> Column:
+    """array<string> of band keys: '<band>:<v1>-<v2>-...'."""
+    keys = []
+    for b in range(bands):
+        vals = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+        keys.append(F.concat_ws("-", F.lit(str(b)), *[v.cast("string") for v in vals]))
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str = "tokens",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+    One explode + one equi-join self-join on the band key."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(tokens_col), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(lsh_bands(sig, bands, rows)).alias("band"),
+    )
+    other = banded.select(F.col("id").alias("id_b"), F.col("band"))
+    pairs = (
+        banded.join(other, "band")
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    ua, ub = F.array_distinct(tokens_a), F.array_distinct(tokens_b)
+    inter = F.size(F.array_intersect(ua, ub)).cast("double")
+    union = F.size(F.array_union(ua, ub)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str = "tokens",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidates verified by true Jaccard >= threshold. Returns
+    (id_a, id_b, jaccard). The verify join is two broadcast-able semi
+    lookups of tokens back onto the (much smaller) candidate set."""
+    cands = minhash_lsh_candidates(df, id_col, tokens_col, num_hashes, bands)
+    toks = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    paired = (
+        cands.join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__t", "ta"), "id_a")
+        .join(toks.withColumnRenamed("__id", "id_b").withColumnRenamed("__t", "tb"), "id_b")
+    )
+    return (
+        paired.withColumn("jaccard", F.round(jaccard(F.col("ta"), F.col("tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash over token multiset: bit j set iff the sum over
+    tokens of (2*bit_j(h(t)) - 1) is >= 0. Pure integer arithmetic."""
+    h = lambda t: (t.cast("long") * SIMHASH_A + SIMHASH_B) % SIMHASH_P  # noqa: E731
+
+    def bit_balance(j: int):
+        # closure factory: PySpark inspects lambda arity, so defaults like
+        # `_j=j` would be miscounted as a third lambda parameter
+        return lambda acc, t: acc + (F.floor(h(t) / (2**j)) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        bal = F.aggregate(tokens, F.lit(0).cast("long"), bit_balance(j))
+        out = out + F.when(bal >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash16_sql(tokens: str = "tokens") -> str:
+    terms = []
+    for j in range(16):
+        bal = (
+            f"COALESCE(list_sum(list_transform({tokens}, "
+            f"t -> CAST(floor(((CAST(t AS BIGINT) * {SIMHASH_A} + {SIMHASH_B})"
+            f" % {SIMHASH_P}) / {2**j}) AS BIGINT) % 2 * 2 - 1)), 0)"
+        )
+        terms.append(f"CASE WHEN {bal} >= 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# n-gram shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles3(tokens: Column) -> Column:
+    """array<bigint> of packed 3-gram shingles (empty when n_tok < 3)."""
+    n = F.size(tokens)
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: (
+            F.element_at(tokens, i + 1).cast("long") * (SHINGLE_BASE**2)
+            + F.element_at(tokens, i + 2).cast("long") * SHINGLE_BASE
+            + F.element_at(tokens, i + 3).cast("long")
+        ),
+    )
+
+
+def shingles3_sql(tokens: str = "tokens") -> str:
+    return (
+        f"CASE WHEN len({tokens}) >= 3 THEN "
+        f"list_transform(range(len({tokens}) - 2), "
+        f"i -> CAST({tokens}[i+1] AS BIGINT) * {SHINGLE_BASE**2}"
+        f" + CAST({tokens}[i+2] AS BIGINT) * {SHINGLE_BASE}"
+        f" + CAST({tokens}[i+3] AS BIGINT)) "
+        f"ELSE [] END"
+    )
+
+
+def ngram_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str = "tokens",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dups on 3-gram shingle sets: MinHash-LSH over shingles,
+    verified with shingle-set Jaccard."""
+    sh = df.select(F.col(id_col), shingles3(F.col(tokens_col)).alias("__sh"))
+    return minhash_near_duplicates(
+        sh, id_col, tokens_col="__sh", threshold=threshold,
+        num_hashes=num_hashes, bands=bands,
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force within-corpus cosine near-dup pairs (the O(n^2) baseline;
+    the LSH-bucketed scale path lives in operators/similarity.py)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,118 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(array<float>): brute-force cosine top-k baseline + sign-LSH bucketed
+scale path.
+
+Scale story: brute-force is a broadcast of ONE query vector over the
+corpus — embarrassingly parallel, no shuffle, fine at any corpus size for
+single queries. For query BATCHES the LSH variant buckets the corpus once
+(8 deterministic hyperplanes -> 256 buckets) and probes only matching
+buckets — recall traded for a 256x candidate reduction; multi-probe
+(Hamming-1 neighbors) recovers most recall.
+
+Hyperplane weights are deterministic integer arithmetic (no RNG) so the
+DuckDB oracle can reproduce the exact same buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators.dedup import cosine
+
+N_PLANES = 8
+_W_MOD = 1001  # weight lattice: w in {-500/1000 .. +500/1000}
+_W_MUL = 2654435761  # Knuth multiplicative constant
+
+
+def plane_weight(p: int, d: Column | int) -> Column:
+    """Deterministic pseudo-random weight for plane p, dimension d:
+    (((p*31 + d) * MUL) mod 1001)/1000 - 0.5  in [-0.5, 0.5]."""
+    dd = d if isinstance(d, Column) else F.lit(d)
+    raw = ((F.lit(p * 31) + dd) * F.lit(_W_MUL)) % _W_MOD
+    return raw.cast("double") / 1000.0 - 0.5
+
+
+def plane_weight_sql(p: int, d: str) -> str:
+    return f"((({p} * 31 + {d}) * {_W_MUL}) % {_W_MOD}) / 1000.0 - 0.5"
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-LSH bucket id in [0, 2^n_planes): bit p = 1 iff <w_p, v> > 0."""
+    def weigher(p: int):
+        # closure factory — PySpark miscounts `_p=p` defaults in lambda arity
+        return lambda v, d: v * plane_weight(p, d)
+
+    out = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), weigher(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucket_sql(vec: str = "embedding", n_planes: int = N_PLANES) -> str:
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            f"list_sum(list_transform(range(len({vec})), "
+            f"d -> {vec}[d+1] * ({plane_weight_sql(p, 'd')})))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine. The query is a literal array —
+    broadcast inside the expression; the scan is a single stage with a
+    global top-k (TakeOrderedAndProject), no full sort."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket (plus
+    Hamming-1 buckets when multiprobe). Approximate by design — tests
+    measure recall vs cosine_topk rather than equality."""
+    import math
+
+    # driver-side bucket of the query (pure python mirror of lsh_bucket)
+    def w(p: int, d: int) -> float:
+        return ((p * 31 + d) * _W_MUL % _W_MOD) / 1000.0 - 0.5
+
+    qb = 0
+    for p in range(n_planes):
+        proj = sum(v * w(p, d) for d, v in enumerate(query_vec))
+        if proj > 0:
+            qb |= 1 << p
+    probes = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if multiprobe else [])
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = emb.withColumn("__b", lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes))
+    cand = bucketed.filter(F.col("__b").isin(probes))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -36,11 +36,20 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _load_extensions() -> None:
+    # side-effect import: registers the training-data pipeline queries
+    # (dedup / similarity / text analysis) — kept in a sibling module so
+    # this file stays navigable
+    from go_html_transform_spark.plans import registry_pipeline  # noqa: F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(_ORACLE)
 
 

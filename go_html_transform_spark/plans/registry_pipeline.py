@@ -1,0 +1,327 @@
+"""Registry extension: training-data pipeline queries — dedup, similarity
+search, text analysis, and a star-schema aggregation sanity query.
+
+Every Spark kernel here has a DuckDB SQL twin generated from THE SAME
+constants (operators/dedup.py, operators/similarity.py, functions/text.py),
+verified bit-identical on fixture rows before registration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import similarity as SIM
+from go_html_transform_spark.plans.registry import _cte, register
+from go_html_transform_spark.sources import tables as S
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_id",
+    _cte(
+        f"""
+        SELECT doc_id, {TX.lang_id_sql()} AS lang_pred
+        FROM doc
+        """
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID over documents.text (pure Column
+    arithmetic, no UDF)."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return doc.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    _cte(
+        f"""
+        SELECT doc_id, {TX.quality_score_sql()} AS quality
+        FROM doc
+        """
+    ),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length saturation, stopword ratio, word
+    length band, distinct ratio)."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return doc.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_token_counts",
+    _cte(
+        f"""
+        SELECT doc_id,
+               len({TX.words_sql()}) AS ws_tokens,
+               {TX.subword_token_count_sql()} AS subword_tokens
+        FROM doc
+        """
+    ),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (chars/4) token counting."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return doc.select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TX.subword_token_count(F.col("text")).alias("subword_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    _cte(
+        f"""
+        SELECT doc_id, {TX.fingerprint_sql('tokens')} AS fp
+        FROM doc
+        """
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return doc.select("doc_id", TX.fingerprint(F.col("tokens")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup (sequences + documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    _cte(
+        """
+        SELECT dup_key, n_dups, canonical_id FROM (
+            SELECT array_to_string(tokens, ',') AS dup_key,
+                   COUNT(*) AS n_dups,
+                   MIN(event_id) AS canonical_id
+            FROM seq GROUP BY 1
+        ) WHERE n_dups > 1
+        """
+    ),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the canonical token-CSV key; one
+    shuffle with map-side partial aggregation."""
+    seq = S.sequences(spark, sf_dir)
+    return D.exact_duplicates(seq, "event_id", F.concat_ws(",", F.col("tokens")))
+
+
+@register(
+    "dedup_minhash_signature",
+    _cte(
+        f"""
+        SELECT doc_id,
+               array_to_string({D.minhash_signature_sql('tokens', 16)}, ',')
+                 AS sig_csv
+        FROM doc
+        """
+    ),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per document (array-native, no shuffle)."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return doc.select(
+        "doc_id",
+        F.concat_ws(",", D.minhash_signature(F.col("tokens"), 16)).alias("sig_csv"),
+    )
+
+
+def _bands_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sig = D.minhash_signature_sql("tokens", n_hashes)
+    keys = []
+    for b in range(bands):
+        parts = " || '-' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        keys.append(f"'{b}' || '-' || {parts}")
+    return f"""
+        SELECT doc_id, uniq, unnest([{', '.join(keys)}]) AS band
+        FROM (SELECT doc_id, {sig} AS sig, list_distinct(tokens) AS uniq FROM doc)
+    """
+
+
+@register(
+    "dedup_minhash_pairs",
+    _cte(
+        f""", bands AS ({_bands_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.uniq AS ua, b.uniq AS ub
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(len(list_intersect(ua, ub)) AS DOUBLE)
+                     / (len(ua) + len(ub) - len(list_intersect(ua, ub))), 6)
+                 AS jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(ua, ub)) AS DOUBLE)
+              / (len(ua) + len(ub) - len(list_intersect(ua, ub))) >= 0.9
+        """
+    ),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (band join) verified by true Jaccard >= 0.9.
+    Note: this corpus has a ~30-token vocabulary, so distinct-token SETS are
+    near-identical across documents — high pair counts are expected (and a
+    good skew stress)."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return D.minhash_near_duplicates(doc, "doc_id", threshold=0.9)
+
+
+@register(
+    "dedup_simhash",
+    _cte(
+        f"""
+        SELECT doc_id, {D.simhash16_sql('tokens')} AS simhash
+        FROM doc
+        """
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (pure bit arithmetic)."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    return doc.select("doc_id", D.simhash16(F.col("tokens")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_shingles",
+    _cte(
+        f"""
+        SELECT doc_id,
+               len({D.shingles3_sql('tokens')}) AS n_shingles,
+               len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct
+        FROM doc
+        """
+    ),
+)
+def dedup_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed 3-gram shingle stats — the n-gram Jaccard building block
+    (pairs path exercised in tests; shingle sets here are near-unique so
+    pair queries would be vacuous at these SFs)."""
+    doc = S.documents_tokenized(spark, sf_dir)
+    sh = D.shingles3(F.col("tokens"))
+    return doc.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    ROUND(
+      list_sum(list_transform(range(len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+         * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))),
+    6)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    SELECT vec_id, cos FROM (
+        SELECT e.vec_id, {_COS_SQL} AS cos
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ) ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the vec_id=0 query (single
+    stage, TakeOrderedAndProject — no global sort)."""
+    emb = S.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return SIM.cosine_topk(emb, list(q), k=10)
+
+
+@register(
+    "sim_lsh_bucket_histogram",
+    f"""
+    SELECT bucket, COUNT(*) AS n FROM (
+        SELECT {SIM.lsh_bucket_sql('embedding', 8)} AS bucket FROM embeddings
+    ) GROUP BY bucket
+    """,
+)
+def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram (8 deterministic hyperplanes -> 256
+    buckets) — the ANN scale path's partitioning, oracle-checked."""
+    emb = S.load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            SIM.lsh_bucket(F.col("embedding").cast("array<double>"), 8).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "sim_lsh_topk",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {SIM.lsh_bucket_sql('embedding', 8)} AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT bucket, embedding FROM b WHERE vec_id = 0)
+    SELECT vec_id, cos FROM (
+        SELECT e.vec_id, {_COS_SQL} AS cos
+        FROM b e, qb q
+        WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
+    ) ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10: candidates restricted to the query's LSH bucket plus
+    Hamming-1 multiprobe neighbors."""
+    emb = S.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return SIM.lsh_topk(emb, list(q), k=10, n_planes=8, multiprobe=True)
+
+
+# ---------------------------------------------------------------------------
+# star-schema aggregation sanity (lineitem) — §2.6 absent-in-reference aggs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (decimal sums: exact cross-engine).
+    Shows filter pushdown + partial aggregation on the star schema."""
+    li = S.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

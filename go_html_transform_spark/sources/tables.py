@@ -85,13 +85,22 @@ def documents_tokenized_sql(sf_dir: str) -> str:
     """
 
 
-def sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequences(
+    spark: SparkSession, sf_dir: str, repartition: int | None = None
+) -> DataFrame:
     """The canonical (doc_id, event_time, tokens, n_tok, source) fact view.
 
     events is the 10^12-scale fact; documents the broadcast dim. The join key
     (user_id == doc_key) never shuffles the fact side.
+
+    ``repartition``: fan the fact scan out to N tasks BEFORE the join so the
+    tokenize/transform compute parallelizes. At production scale the file
+    count provides this for free; the sandbox's single small parquet file
+    would otherwise serialize the whole pipeline into one task.
     """
     e = load_table(spark, sf_dir, "events")
+    if repartition:
+        e = e.repartition(repartition)
     d = documents_tokenized(spark, sf_dir)
     return (
         e.join(F.broadcast(d), e["user_id"] == d["doc_key"], "inner")

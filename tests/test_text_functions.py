@@ -1,0 +1,78 @@
+"""Text-analysis kernels: lang-id, quality, token counts, fingerprint —
+plus fingerprint/rolling-hash determinism."""
+
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.functions.tokenize import tokens_expr
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+
+
+def test_lang_id(spark):
+    df = _df(
+        spark,
+        [
+            "the cat sat of the mat and a dog",
+            "der hund und die katze ist ein tier",
+            "le chat et la maison est un lieu",
+            "xyzzy qwerty asdf",
+        ],
+    )
+    got = [r.l for r in df.select(TX.lang_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "unknown"]
+
+
+def test_lang_id_tie_prefers_first(spark):
+    # 'un' is in both fr and es lists; fr comes first in STOPWORDS order
+    df = _df(spark, ["un un"])
+    got = df.select(TX.lang_id(F.col("text")).alias("l")).collect()[0].l
+    assert got == "fr"
+
+
+def test_quality_score_range_and_monotonicity(spark):
+    df = _df(
+        spark,
+        [
+            "the of and a is in to the quick brown fox jumps over lazy dogs "
+            "with many distinct interesting words appearing here today",
+            "x x x x x x x x",
+            "",
+        ],
+    )
+    got = [r.q for r in df.select(TX.quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+    assert got[0] > got[1]  # rich text beats degenerate repetition
+    assert got[2] == 0.0 or got[2] < 0.2  # empty text scores ~0
+
+
+def test_token_counts(spark):
+    df = _df(spark, ["one two  three", "abcdefgh xy", ""])
+    out = df.select(
+        TX.whitespace_token_count(F.col("text")).alias("ws"),
+        TX.subword_token_count(F.col("text")).alias("sw"),
+    ).collect()
+    assert [r.ws for r in out] == [3, 2, 0]
+    # ceil(3/4)+ceil(3/4)+ceil(5/4)=1+1+2 ; ceil(8/4)+ceil(2/4)=2+1 ; 0
+    assert [r.sw for r in out] == [4, 3, 0]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [3, 2, 1]), (3, [1, 2, 3]), (4, [])],
+        "id int, tokens array<int>",
+    )
+    got = {r.id: r.fp for r in df.select("id", TX.fingerprint(F.col("tokens")).alias("fp")).collect()}
+    assert got[1] == got[3]  # deterministic
+    assert got[1] != got[2]  # order matters (rolling hash)
+    assert got[4] == 0
+    # exact value: ((0*31+1)*31+2)*31+3 = 1028
+    assert got[1] == ((1 * 31 + 2) * 31 + 3)
+
+
+def test_fingerprint_matches_tokenized_text(spark):
+    df = _df(spark, ["key agg row scan slow"])
+    fp = df.select(TX.fingerprint(tokens_expr("text")).alias("fp")).collect()[0].fp
+    assert isinstance(fp, int) and fp > 0

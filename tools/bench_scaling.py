@@ -1,0 +1,88 @@
+"""N vs 4N scaling evidence (north rule: throughput scaling efficiency
+>= 0.8 going N -> 4N executors; sandbox substitute: local[8] vs local[32]
+on the same input — driver instruction, BASELINE.md).
+
+Runs bench.py twice via subprocess (fresh JVM each, no warm-cache bleed),
+computes efficiency = (T_8 / T_32) / 4 per stage, writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [replicate] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, replicate: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_REPLICATE=str(replicate),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    r8 = run(8, replicate, sf_dir)
+    r32 = run(32, replicate, sf_dir)
+
+    lines = [
+        "# BENCH/BASELINE.md — measured engine numbers",
+        "",
+        f"Input: `{sf_dir}` replicated x{replicate} "
+        f"({r32['n_sequences']:,} sequences), same input at both parallelism",
+        "levels (driver-sanctioned substitute for N vs 4N executors).",
+        "",
+        "| stage | local[8] sec | local[32] sec | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for stage in r8["queries"]:
+        t8, t32 = r8["queries"][stage], r32["queries"][stage]
+        sp = t8 / t32
+        lines.append(
+            f"| {stage} | {t8:.2f} | {t32:.2f} | {sp:.2f}x | {sp / 4:.3f} |"
+        )
+    tput8 = r8["n_sequences"] / r8["queries"]["full_pipeline"]
+    tput32 = r32["n_sequences"] / r32["queries"]["full_pipeline"]
+    eff = (tput32 / tput8) / 4
+    lines += [
+        "",
+        f"- sequences/sec @ local[8]:  **{tput8:,.0f}**",
+        f"- sequences/sec @ local[32]: **{tput32:,.0f}**",
+        f"- **throughput scaling efficiency (N→4N): {eff:.3f}**"
+        + (" ✓ (≥0.8)" if eff >= 0.8 else " ✗ (<0.8)"),
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(r8),
+        json.dumps(r32),
+        "```",
+        "",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines[:20]))
+    print(f"efficiency={eff:.3f} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
