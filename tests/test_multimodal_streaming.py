@@ -1,0 +1,94 @@
+"""Multimodal plumbing (stubbed codec) + Structured Streaming parity tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import multimodal as MM
+from go_html_transform_spark.streaming import stream as ST
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m0", "image", b"\x89PNG fake bytes 0", (64, 48, None, None)),
+        ("m1", "image", b"\x89PNG fake bytes 1", (32, 32, None, None)),
+        ("m2", "image", b"\x89PNG fake bytes 0", (64, 48, None, None)),  # dup payload
+        ("m3", "audio", b"RIFF fake wav", (None, None, 16000, None)),
+        ("m4", "video", b"ftyp fake mp4", (640, 480, None, 95)),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_decode_requires_real_codec_or_fake(media):
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(media, fake=False)
+
+
+def test_fake_decode_deterministic_by_content(spark, media):
+    out = MM.decode_media(media, kind="image", fake=True).collect()
+    feats = {r.media_id: (r.content_hash, list(r.features)) for r in out}
+    assert set(feats) == {"m0", "m1", "m2"}
+    # identical payload -> identical hash AND identical features
+    assert feats["m0"] == feats["m2"]
+    assert feats["m0"] != feats["m1"]
+    assert all(len(v[1]) == MM.N_FEATURES for v in feats.values())
+
+
+def test_decode_batch_shape_all_kinds(spark, media):
+    out = MM.decode_media(media, fake=True)
+    assert out.count() == 5
+    assert out.schema["features"].dataType.simpleString() == "array<double>"
+
+
+def test_frame_sample_plan(spark, media):
+    frames = MM.frame_sample_plan(media, every_n=30).collect()
+    assert [r.frame_idx for r in frames] == [0, 30, 60, 90]
+    assert all(r.media_id == "m4" for r in frames)
+
+
+# --- streaming ---------------------------------------------------------------
+
+
+def test_streaming_session_counts_match_batch(spark):
+    from go_html_transform_spark.operators.window import sessionize
+    from go_html_transform_spark.sources.tables import sequences
+
+    stream = ST.stream_sequences(spark, SF_DIR)
+    assert stream.isStreaming
+    got = ST.run_available_now(
+        ST.streaming_session_counts(stream, gap_seconds=1800),
+        "sess_counts",
+    )
+    # batch twin: sessionize + per-(doc, session) counts
+    batch = sessionize(
+        sequences(spark, SF_DIR).withColumn(
+            "event_time", F.col("event_time").cast("timestamp")
+        ),
+        gap_seconds=1800,
+    )
+    expected = (
+        batch.groupBy("doc_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.sum("n_tok").alias("sum_n_tok"))
+    )
+    g = got.select("doc_id", "n_events", "sum_n_tok").orderBy("doc_id", "n_events")
+    e = expected.select("doc_id", "n_events", "sum_n_tok").orderBy("doc_id", "n_events")
+    assert [tuple(r) for r in g.collect()] == [tuple(r) for r in e.collect()]
+
+
+def test_streaming_rule_counts(spark):
+    stream = ST.stream_sequences(spark, SF_DIR)
+    got = ST.run_available_now(
+        ST.streaming_rule_counts(stream, "t982", window="24 hours"),
+        "rule_counts",
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    total_stream = sum(r.n_matches for r in rows)
+    # batch twin
+    from go_html_transform_spark.plans.pipeline import Transformer
+    from go_html_transform_spark.sources.tables import sequences
+
+    total_batch = Transformer(sequences(spark, SF_DIR)).matched("t982").count()
+    assert total_stream == total_batch
