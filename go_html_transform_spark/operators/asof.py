@@ -3,14 +3,22 @@ tolerance) — the temporal generalization of the reference's AdjacentSibling
 "nearest preceding/following match" (/root/reference/css/selector/data.go:292-299),
 and the centerpiece of the north rule (BASELINE.json).
 
-OSS Spark SQL has no as-of join; the engine provides two physical
-strategies, both Arrow-batched (never per-row Python):
+OSS Spark SQL has no as-of join; the engine provides three physical
+strategies (never per-row Python):
 
-``strategy='cogroup'`` (default)
-    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` with a
-    ``pandas.merge_asof`` per entity. One shuffle per side on the entity
-    key. Right choice when entities are plentiful and each entity's
-    timeline fits in a task (the common case: 10^12 rows / 10^8 doc_ids).
+``strategy='union'`` (default — fully JVM-side, zero Python)
+    Tag and union both sides, then one window pass per direction:
+    ``last(right_payload, ignorenulls)`` over (entity, time, tag) with the
+    tag ordering making the join INCLUSIVE at equal timestamps. Cost
+    profile identical to a window feature: ONE shuffle on the entity key +
+    ONE sort — wide payload columns never cross into Python, whole-stage
+    codegen end to end. This is the 10^12-row plan of record.
+
+``strategy='cogroup'``
+    ``cogroup(...).applyInPandas`` with ``pandas.merge_asof(by=entity)``
+    per coarse hash bucket. The Arrow/pandas reference implementation the
+    union strategy is tested against; also the extension point for
+    merge logic Spark expressions can't reach.
 
 ``strategy='bucketed'`` (skew/scale path)
     Entities with huge timelines are split into TIME BUCKETS so no single
@@ -108,6 +116,96 @@ def _merge_fn(
     return merge
 
 
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str,
+    tolerance: float | None,
+) -> DataFrame:
+    """JVM-native as-of: union-of-tagged-sides + windowed last/first.
+
+    Inclusive-at-t semantics via tag ordering:
+    * backward: right rows sort BEFORE left rows at equal time
+      (tag R=0 < L=1), frame = unboundedPreceding..current
+    * forward: right rows sort AFTER left rows at equal time
+      (tag L=0 < R=1), frame = current..unboundedFollowing
+    """
+    right_value_cols = [c for c in right.columns if c not in (on, right_time)]
+    payload = F.struct(
+        F.col(right_time).alias("__rt"), *[F.col(c) for c in right_value_cols]
+    )
+    r_side = right.select(
+        F.col(on),
+        F.col(right_time).alias("__time"),
+        payload.alias("__p"),
+        F.lit(True).alias("__is_r"),
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in left.schema.fields if f.name != on],
+    )
+    ptype = r_side.schema["__p"].dataType
+    l_side = left.select(
+        F.col(on),
+        F.col(left_time).alias("__time"),
+        F.lit(None).cast(ptype).alias("__p"),
+        F.lit(False).alias("__is_r"),
+        *[F.col(f.name) for f in left.schema.fields if f.name != on],
+    )
+    u = r_side.unionByName(l_side)
+
+    t = F.col("__time").cast("timestamp").cast("double")
+    matched_cols = {}
+    if direction in ("backward", "nearest"):
+        # (time asc, is_r desc) => R before L at equal time -> inclusive
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__time").asc(), F.col("__is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched_cols["__b"] = F.last("__p", ignorenulls=True).over(wb)
+    if direction in ("forward", "nearest"):
+        # (time asc, is_r asc) => R after L at equal time -> inclusive
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__time").asc(), F.col("__is_r").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        matched_cols["__f"] = F.first("__p", ignorenulls=True).over(wf)
+
+    u = u.select("*", *[c.alias(n) for n, c in matched_cols.items()])
+    out = u.filter(~F.col("__is_r"))
+
+    def _within_tol(p: Column, signed_delta: Column) -> Column:
+        if tolerance is None:
+            return p
+        return F.when(signed_delta <= F.lit(float(tolerance)), p)
+
+    rt_of = lambda p: p["__rt"].cast("timestamp").cast("double")  # noqa: E731
+    if direction == "backward":
+        chosen = _within_tol(F.col("__b"), t - rt_of(F.col("__b")))
+    elif direction == "forward":
+        chosen = _within_tol(F.col("__f"), rt_of(F.col("__f")) - t)
+    else:  # nearest: prefer the closer side, ties -> backward (pandas pin)
+        b = _within_tol(F.col("__b"), t - rt_of(F.col("__b")))
+        f = _within_tol(F.col("__f"), rt_of(F.col("__f")) - t)
+        b_d = t - rt_of(b)
+        f_d = rt_of(f) - t
+        chosen = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(b_d <= f_d, b)
+            .otherwise(f)
+        )
+
+    sel = [
+        F.col("__time").alias(left_time) if c == left_time else F.col(c)
+        for c in left.columns
+    ]
+    return out.select(*sel, *[chosen[c].alias(c) for c in right_value_cols])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -116,7 +214,7 @@ def asof_join(
     right_time: str = "obs_time",
     direction: str = "backward",
     tolerance: float | None = None,
-    strategy: str = "cogroup",
+    strategy: str = "union",
     bucket_seconds: int = 86400,
     num_groups: int | None = None,
 ) -> DataFrame:
@@ -134,10 +232,14 @@ def asof_join(
     """
     if direction not in DIRECTIONS:
         raise ValueError(f"direction must be one of {DIRECTIONS}")
-    if strategy not in ("cogroup", "bucketed"):
-        raise ValueError("strategy must be 'cogroup' or 'bucketed'")
+    if strategy not in ("union", "cogroup", "bucketed"):
+        raise ValueError("strategy must be 'union', 'cogroup' or 'bucketed'")
 
     right = _dedupe_right(right, on, right_time)
+    if strategy == "union":
+        return _asof_union(
+            left, right, on, left_time, right_time, direction, tolerance
+        )
     schema = _output_schema(left, right, on, right_time)
     right_value_cols = [c for c in right.columns if c not in (on, right_time)]
 

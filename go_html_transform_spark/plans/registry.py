@@ -671,3 +671,20 @@ def asof_backward_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join through the range-bucketed physical strategy (boundary-row
     replication; SURVEY §4 item 1) — must be plan-invisible to the user."""
     return _asof_spark(spark, sf_dir, "backward", strategy="bucketed")
+
+
+@register(
+    "asof_backward_cogroup",
+    _cte(
+        f""", {_LAB_DEDUP}
+        SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time
+        """
+    ),
+)
+def asof_backward_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through the Arrow/pandas cogroup strategy
+    (merge_asof(by=entity) per hash bucket) — the reference implementation
+    the JVM union strategy is verified against."""
+    return _asof_spark(spark, sf_dir, "backward", strategy="cogroup")

@@ -77,7 +77,7 @@ def _engine_result(df):
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 600])
-@pytest.mark.parametrize("strategy", ["cogroup", "bucketed"])
+@pytest.mark.parametrize("strategy", ["union", "cogroup", "bucketed"])
 def test_asof_matches_pandas(spark, direction, tolerance, strategy):
     left, right = _mk_fixture()
     l, r = _spark_dfs(spark, left, right)
@@ -95,7 +95,7 @@ def test_asof_matches_pandas(spark, direction, tolerance, strategy):
 def test_asof_empty_right(spark):
     left, _ = _mk_fixture()
     l, r = _spark_dfs(spark, left, [])
-    for strategy in ("cogroup", "bucketed"):
+    for strategy in ("union", "cogroup", "bucketed"):
         got = asof_join(l, r, strategy=strategy)
         res = _engine_result(got)
         assert len(res) == len(left)
