@@ -40,6 +40,7 @@ def _load_extensions() -> None:
     # side-effect import: registers the training-data pipeline queries
     # (dedup / similarity / text analysis) — kept in a sibling module so
     # this file stays navigable
+    from go_html_transform_spark.plans import registry_extra  # noqa: F401
     from go_html_transform_spark.plans import registry_pipeline  # noqa: F401
 
 

@@ -1,0 +1,223 @@
+"""Registry extension 2: attribute-map operators, first-match cascade,
+sibling combinator, skew salting, lineage, streaming and multimodal
+coverage (the last three are rows-only checks — not ANSI-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import transforms as X
+from go_html_transform_spark.plans.pipeline import Transformer
+from go_html_transform_spark.plans.registry import _cte, register
+from go_html_transform_spark.sources import tables as S
+
+
+def _seq_with_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequences + attrs map parsed from the events.props JSON string —
+    the node-attribute analogue (h5 Attr []Attribute{Key,Val})."""
+    seq = S.sequences(spark, sf_dir)
+    return seq.withColumn("attrs", F.from_json("props", "map<string,string>"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 attribute operators over the props map
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attr_modify_upsert",
+    _cte(
+        """
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN 'clicked'
+                    ELSE json_extract_string(props, '$.k') END AS k_out
+        FROM seq
+        """
+    ),
+)
+def attr_modify_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModifyAttrib (transform.go:283-299): upsert attrs['k'] on matched
+    rows (match = event_type click), read back the map value."""
+    df = _seq_with_attrs(spark, sf_dir)
+    out = df.withColumn(
+        "attrs",
+        F.when(
+            F.col("event_type") == "click",
+            X.modify_attrib("attrs", "k", "clicked"),
+        ).otherwise(F.col("attrs")),
+    )
+    return out.select("event_id", F.element_at("attrs", "k").alias("k_out"))
+
+
+@register(
+    "attr_transform_existing",
+    _cte(
+        """
+        SELECT event_id,
+               json_extract_string(props, '$.k') || '!' AS k_out
+        FROM seq
+        """
+    ),
+)
+def attr_transform_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformAttrib (transform.go:301-312): map the existing 'k' value
+    through a function; key always present in this corpus so the no-op
+    branch is covered by unit tests instead."""
+    df = _seq_with_attrs(spark, sf_dir)
+    out = df.withColumn(
+        "attrs",
+        X.transform_attrib("attrs", "k", lambda v: F.concat(v, F.lit("!"))),
+    )
+    return out.select("event_id", F.element_at("attrs", "k").alias("k_out"))
+
+
+@register(
+    "match_attr_selector",
+    _cte(
+        """
+        SELECT event_id FROM seq
+        WHERE json_extract_string(props, '$.k') = '7'
+          AND list_contains(tokens, 982)
+        """
+    ),
+)
+def match_attr_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attr selector `t982[k=7]` through the rule engine (attr predicates
+    over the map column; data.go:122-124 Exactly mode)."""
+    df = _seq_with_attrs(spark, sf_dir)
+    tr = Transformer(df, attrs_col="attrs")
+    return tr.matched("t982[k=7]").select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 FirstMatch cascade + sibling combinator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transform_first_match",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 310) THEN list_append(tokens, 555)
+                      WHEN list_contains(tokens, 982) THEN list_append(tokens, 555)
+                      ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyToFirstMatch (transform.go:99-110): first non-empty rule wins
+    per row — one projection, no repeated scans."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply_to_first_match(
+        lambda t, p: X.append_children(t, [555]), "t310", "t982"
+    )
+    return tr.df.select(
+        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    )
+
+
+@register(
+    "match_sibling_combinator",
+    _cte(
+        """
+        SELECT event_id, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT event_id,
+                   unnest(tokens) AS tok,
+                   unnest(range(len(tokens))) AS pos,
+                   len(list_filter(tokens, t -> t = 310)) AS n310,
+                   tokens
+            FROM seq
+        )
+        WHERE tok = 982
+          AND (n310 > 1 OR (n310 = 1 AND tokens[CAST(pos + 1 AS INTEGER)] != 310))
+        """
+    ),
+)
+def match_sibling_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling `t310 ~ t982` (data.go:300-311): any 982 with a 310
+    elsewhere in the sequence (both directions, excluding itself)."""
+    seq = S.sequences(spark, sf_dir)
+    m = Transformer(seq).matched("t310 ~ t982")
+    return m.select("event_id", F.explode("match_pos").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# §4 skew salting — salted aggregate must equal the plain aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_source_counts",
+    _cte(
+        """
+        SELECT source, COUNT(*) AS cnt FROM seq GROUP BY source
+        """
+    ),
+)
+def salted_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count on the (skewed) source key — must equal the
+    plain GROUP BY, proving salting is semantics-free."""
+    from go_html_transform_spark.operators.skew import salted_count
+
+    seq = S.sequences(spark, sf_dir)
+    return salted_count(seq, "source", "event_id", n_salts=16)
+
+
+# ---------------------------------------------------------------------------
+# rows-only checks (not ANSI-SQL-expressible; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+
+@register("lineage_partition_rows")  # xxhash64 buckets aren't DuckDB-reproducible
+def lineage_partition_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage rows (north rule): bucket, count, checksum."""
+    from go_html_transform_spark.plans.lineage import partition_lineage
+
+    seq = S.sequences(spark, sf_dir)
+    return partition_lineage(seq, "registry_stage", n_buckets=32).select(
+        "stage", "bucket", "n_rows", "checksum"
+    )
+
+
+@register("streaming_session_counts")  # Structured Streaming: rows-only
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session-window aggregation drained with availableNow —
+    matches batch sessionize (asserted in tests)."""
+    from go_html_transform_spark.streaming import stream as ST
+
+    s = ST.stream_sequences(spark, sf_dir)
+    return ST.run_available_now(
+        ST.streaming_session_counts(s, gap_seconds=1800), "reg_sess"
+    ).select("doc_id", "n_events", "sum_n_tok")
+
+
+@register("multimodal_decode_features")  # stubbed codec: rows-only
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: documents' text bytes as opaque payloads ->
+    mapInPandas fake decode -> stable feature vectors."""
+    from go_html_transform_spark.operators import multimodal as MM
+
+    doc = S.load_table(spark, sf_dir, "documents")
+    media = doc.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    out = MM.decode_media(media, fake=True)
+    return out.select(
+        "media_id",
+        "content_hash",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
