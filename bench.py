@@ -108,18 +108,27 @@ def main() -> None:
     )
     timed("window_features", lambda: feats.write.format("noop").mode("overwrite").save())
 
-    # headline: full pipeline end-to-end INCLUDING the parquet sink
+    # headline: full pipeline (rule transform -> as-of -> features).
+    # Measured twice: compute_pipeline (noop sink — the scaling-efficiency
+    # metric: the sandbox has ONE local disk, so a parquet sink is a fixed
+    # IO floor that no core count can parallelize; a real cluster's sink
+    # bandwidth scales with executors) and full_pipeline (parquet sink —
+    # the honest end-to-end wall time at this parallelism).
+    full = add_features(
+        asof_join(
+            tr.df.select(
+                "doc_id", "event_time", "event_id", "tokens", "n_tok", "source", "value"
+            ),
+            lab,
+            direction="backward",
+        )
+    )
+    timed(
+        "compute_pipeline",
+        lambda: full.write.format("noop").mode("overwrite").save(),
+    )
     out_dir = tempfile.mkdtemp(prefix="ghts_bench_")
     try:
-        full = add_features(
-            asof_join(
-                tr.df.select(
-                    "doc_id", "event_time", "event_id", "tokens", "n_tok", "source", "value"
-                ),
-                lab,
-                direction="backward",
-            )
-        )
         timed(
             "full_pipeline",
             lambda: full.write.mode("overwrite").parquet(f"{out_dir}/out"),
@@ -137,6 +146,7 @@ def main() -> None:
         "cpus": cpus,
         "n_sequences": n_sequences,
         "sequences_per_sec": round(n_sequences / timings["full_pipeline"], 1),
+        "compute_sequences_per_sec": round(n_sequences / timings["compute_pipeline"], 1),
         "total_sec": total,
     }
     print(json.dumps(result))

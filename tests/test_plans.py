@@ -1,0 +1,99 @@
+"""Physical-plan audits: the scale-critical properties asserted against
+.explain() output (SURVEY.md §4) — pushdown, broadcast, exchange counts,
+and no-Python-in-the-hot-path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators.asof import asof_join
+from go_html_transform_spark.plans.pipeline import Transformer
+from go_html_transform_spark.sources import tables as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sequences_dim_join_is_broadcast(spark):
+    p = plan_of(S.sequences(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p  # the fact side must never shuffle
+
+
+def test_dim_filter_pushes_to_parquet_scan(spark):
+    import re
+
+    seq = S.sequences(spark, SF_DIR).filter(F.col("source") == "src0")
+    p = plan_of(seq)
+    # the dim-side predicate must reach the documents parquet reader
+    assert re.search(r"DataFilters: \[[^\]]*\(source#\d+ = src0\)", p), p
+
+
+def test_fact_scan_prunes_columns(spark):
+    out = S.sequences(spark, SF_DIR).select("doc_id", "event_time")
+    p = plan_of(out)
+    # events scan must read only the join key + ts, not value/props/...
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>.*events", p) or re.search(
+        r"events[^\n]*ReadSchema: struct<([^>]*)>", p
+    )
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    event_scan = [s for s in scans if "user_id" in s]
+    assert event_scan and all("props" not in s and "value" not in s for s in event_scan), p
+
+
+def test_array_native_match_has_no_exchange(spark):
+    seq = S.sequences(spark, SF_DIR)
+    m = Transformer(seq).matched("t756 > t982")
+    p = plan_of(m)
+    # per-row kernel: zero shuffle (the dim BroadcastExchange is fine)
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Pandas" not in p and "PythonUDF" not in p  # zero Python
+
+
+def test_asof_union_strategy_is_jvm_only(spark):
+    seq = S.sequences(spark, SF_DIR).select("doc_id", "event_time", "event_id", "n_tok")
+    lab = S.labels(spark, SF_DIR)
+    j = asof_join(seq, lab, direction="backward")  # default union strategy
+    p = plan_of(j)
+    assert "Pandas" not in p and "PythonUDF" not in p, p
+    # one logical shuffle for the (entity) window — AQE may represent it as
+    # a single Exchange feeding the union's both branches
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_asof_then_features_reuses_partitioning(spark):
+    """asof(union) partitions by doc_id; add_features windows over the same
+    key — the second stage must NOT add another hash exchange."""
+    from go_html_transform_spark.operators.window import add_features
+
+    seq = S.sequences(spark, SF_DIR).select(
+        "doc_id", "event_time", "event_id", "n_tok", "value"
+    )
+    lab = S.labels(spark, SF_DIR)
+    out = add_features(asof_join(seq, lab, direction="backward"))
+    p = plan_of(out)
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_transform_chain_stays_in_one_stage(spark):
+    """ApplyAll chains execute in ONE stage — the reference's 'walk the
+    tree once' TODO (transform.go:114). Catalyst keeps the rule projections
+    as separate Project nodes (collapsing would duplicate the expensive
+    match expression — each rule reads the previous tokens 3x), but they
+    pipeline in the same whole-stage-codegen stage: zero exchanges, zero
+    extra passes over the data."""
+    from go_html_transform_spark.operators import transforms as X
+    from go_html_transform_spark.plans.pipeline import Transform
+
+    seq = S.sequences(spark, SF_DIR)
+    t1 = Transform.parse("t982", lambda t, p: X.append_children(t, [1001]))
+    t2 = Transform.parse("t756", lambda t, p: X.prepend_children(t, [1002]))
+    out = Transformer(seq).apply_all(t1, t2).df.select("doc_id", "tokens")
+    p = plan_of(out)
+    assert "Exchange hashpartitioning" not in p, p
+    # both rule projections pipeline back-to-back — nothing between them
+    assert "Project [" in p and "Sort" not in p and "Aggregate" not in p, p
