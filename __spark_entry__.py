@@ -24,22 +24,35 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: sequences scan -> selector-rule transform -> match stats.
+    """Flagship: the full north-rule pipeline at sf0.001 —
+    scan -> selector-rule transform -> as-of join -> windowed features ->
+    per-source summary (SURVEY.md §3.1 lifecycle, engine-side)."""
+    from go_html_transform_spark.operators.asof import asof_join
+    from go_html_transform_spark.operators.window import add_features
 
-    Mirrors the reference's flagship lifecycle (SURVEY.md §3.1):
-    parse rule -> find matches -> transform matched rows -> aggregate.
-    """
     seq = S.sequences(spark, SF0001)
-    tr = Transformer(seq)
+    lab = S.labels(spark, SF0001)
     # rule: sequences containing the hot token 982 get a sentinel appended
     # (AppendChildren analogue, transform.go:157-167)
-    tr = tr.apply("t982", lambda t, p: X.append_children(t, [1023]))
+    tr = Transformer(seq).apply("t982", lambda t, p: X.append_children(t, [1023]))
+    feats = add_features(
+        asof_join(
+            tr.df.select(
+                "doc_id", "event_time", "event_id", "tokens", "n_tok", "source", "value"
+            ),
+            lab,
+            direction="backward",
+        )
+    )
     return (
-        tr.df.groupBy("source")
+        feats.groupBy("source")
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("n_tok").alias("sum_n_tok"),
             F.sum(F.element_at("tokens", -1).cast("bigint")).alias("sum_last_tok"),
+            F.round(F.avg("label_value"), 4).alias("avg_label"),
+            F.round(F.avg("n_tok_rmean3"), 4).alias("avg_rolling_ntok"),
+            F.max("session_id").alias("max_session"),
         )
         .orderBy("source")
     )

@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill files on tmpfs: the sandbox's /tmp sits on a ~300MB/s
+        # virtual disk that collapses under concurrent spill writers; a real
+        # cluster node has local NVMe. RAM-backed local dirs remove that
+        # artifact (the box has 126G of tmpfs).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
