@@ -1,0 +1,36 @@
+"""Sinks: partitioned write (RenderNodes analogue) + snapshot fingerprints."""
+
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.sources import sinks as SK
+from go_html_transform_spark.sources import tables as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_write_sequences_partitioned(spark, tmp_path):
+    seq = S.sequences(spark, SF_DIR).limit(500)
+    out = str(tmp_path / "seq_out")
+    SK.write_sequences(seq, out, mode="overwrite", partition_by=("source",))
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # partition column materialized as directories (source=... pruning)
+    import os
+
+    assert any(d.startswith("source=") for d in os.listdir(out))
+    # partition pruning reaches the scan
+    p = back.filter(F.col("source") == "src1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p
+
+
+def test_snapshot_id_stable_and_content_sensitive(spark, tmp_path):
+    s1 = SK.snapshot_id(spark, f"{SF_DIR}/events.parquet")
+    s2 = SK.snapshot_id(spark, f"{SF_DIR}/events.parquet")
+    assert s1 == s2 and s1.startswith("parquet:")
+    other = SK.snapshot_id(spark, f"{SF_DIR}/documents.parquet")
+    assert other != s1
+
+
+def test_iceberg_gate_detects_absence(spark):
+    # sandbox ships no Iceberg runtime — the gate must degrade, not throw
+    assert SK.iceberg_available(spark) is False
