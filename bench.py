@@ -8,7 +8,7 @@ Runs the headline stages at $SPARK_GRAFT_SF_DIR (default
      "queries": {<stage>: sec, ...}, "sf": ..., "sequences_per_sec": ...}
 
 Scaling evidence (N vs 4N cores): tools/bench_scaling.py runs this script
-at SPARK_GRAFT_CPUS=8 and 32 and writes BENCH/BASELINE.md.
+at N and 4N cores (default 2 vs 8) and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -37,14 +37,17 @@ def main() -> None:
     from go_html_transform_spark.session import get_spark
     from go_html_transform_spark.sources import tables as S
 
+    # Fixed partition count at every parallelism level: production sizes
+    # partitions to the DATA (then AQE coalesces), not to the core count —
+    # and a fixed count removes a confound from the N-vs-4N comparison.
+    n_part = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "64"))
     spark = get_spark(
         app_name=f"bench-{cpus}",
         cores=cpus,
-        shuffle_partitions=max(8, 2 * cpus),
+        shuffle_partitions=n_part,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_part = max(8, 2 * cpus)
     seq = S.sequences(spark, sf_dir, repartition=n_part)
     lab = S.labels(spark, sf_dir)
 
@@ -74,14 +77,26 @@ def main() -> None:
             .drop("__rep")
         )
 
-    n_sequences = seq.count()  # warms the JVM + dim broadcast
+    # Cache the (replicated) base inputs so each stage measures ITS OWN
+    # cost, not a recompute of the upstream lineage. MEMORY_AND_DISK —
+    # spill lands on the tmpfs local dir.
+    from pyspark import StorageLevel
+
+    seq = seq.persist(StorageLevel.MEMORY_AND_DISK)
+    lab = lab.persist(StorageLevel.MEMORY_AND_DISK)
+    n_sequences = seq.count()  # materializes cache + warms JVM/broadcast
+    lab.count()
 
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: drops codegen/JIT warmup noise
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # stage 1: selector-rule token transform (scan -> match -> rewrite)
     tr = (
@@ -94,7 +109,7 @@ def main() -> None:
     )
     timed("rule_transform", lambda: tr.df.write.format("noop").mode("overwrite").save())
 
-    # stage 2: as-of join (backward, cogrouped)
+    # stage 2: as-of join (backward, JVM union strategy)
     joined = asof_join(
         seq.select("doc_id", "event_time", "event_id", "n_tok", "source", "value"),
         lab,

@@ -163,10 +163,12 @@ def minhash_near_duplicates(
         cands.join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__t", "ta"), "id_a")
         .join(toks.withColumnRenamed("__id", "id_b").withColumnRenamed("__t", "tb"), "id_b")
     )
+    # filter on the RAW jaccard (rounding is output-only — a rounded filter
+    # would disagree with the oracle at the threshold boundary)
     return (
-        paired.withColumn("jaccard", F.round(jaccard(F.col("ta"), F.col("tb")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        paired.withColumn("__j", jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
 
 
@@ -279,7 +281,7 @@ def embedding_near_duplicates(
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        pairs.withColumn("__c", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("cos"))
     )
