@@ -689,3 +689,73 @@ def asof_backward_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (merge_asof(by=entity) per hash bucket) — the reference implementation
     the JVM union strategy is verified against."""
     return _asof_spark(spark, sf_dir, "backward", strategy="cogroup")
+
+
+@register(
+    "pipeline_end_to_end",
+    _cte(
+        f""", {_LAB_DEDUP},
+        transformed AS (
+            -- n_tok is an invariant the engine recomputes after a
+            -- transform (pipeline.apply) -> derive it from the NEW tokens
+            SELECT doc_id, event_time, event_id,
+                   CASE WHEN list_contains(tokens, 982)
+                        THEN list_append(tokens, 1023) ELSE tokens END AS tokens,
+                   value
+            FROM seq
+        ),
+        joined AS (
+            SELECT t.*, l.label_value
+            FROM transformed t ASOF LEFT JOIN labd l
+              ON t.doc_id = l.doc_id AND t.event_time >= l.obs_time
+        )
+        SELECT event_id,
+               array_to_string(tokens, ',') AS tokens_csv,
+               ROUND(label_value, 4) AS label_value,
+               SUM(len(tokens)) OVER (PARTITION BY doc_id ORDER BY event_time, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 AS n_tok_rsum3,
+               SUM(CASE WHEN prev_t IS NULL
+                         OR epoch_us(event_time) - prev_t > 1800 * 1000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY event_time, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                 AS session_id
+        FROM (
+            SELECT *, lag(epoch_us(event_time))
+                        OVER (PARTITION BY doc_id ORDER BY event_time, event_id)
+                      AS prev_t
+            FROM joined
+        )
+        """
+    ),
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship correctness proof: rule transform -> as-of join ->
+    windowed features in one oracle-checked query (the full north-rule
+    lifecycle, SURVEY §3.1). Windows tie-break on event_id for
+    cross-engine determinism."""
+    from pyspark.sql import Window as _W
+
+    from go_html_transform_spark.operators.asof import asof_join
+
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply("t982", lambda t, p: X.append_children(t, [1023]))
+    joined = asof_join(
+        tr.df.select("doc_id", "event_time", "event_id", "tokens", "n_tok", "value"),
+        S.labels(spark, sf_dir),
+        direction="backward",
+    )
+    w = _W.partitionBy("doc_id").orderBy("event_time", "event_id")
+    secs = F.col("event_time").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return joined.select(
+        "event_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        F.round("label_value", 4).alias("label_value"),
+        F.sum("n_tok").over(w.rowsBetween(-3, 0)).alias("n_tok_rsum3"),
+        (F.sum(is_new).over(w.rowsBetween(_W.unboundedPreceding, 0)) - 1).alias(
+            "session_id"
+        ),
+    )
