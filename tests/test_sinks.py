@@ -34,3 +34,16 @@ def test_snapshot_id_stable_and_content_sensitive(spark, tmp_path):
 def test_iceberg_gate_detects_absence(spark):
     # sandbox ships no Iceberg runtime — the gate must degrade, not throw
     assert SK.iceberg_available(spark) is False
+
+
+def test_iceberg_ddl_spec(spark):
+    """Production DDL builders: valid statement shape; create_tables gates
+    cleanly when the runtime is absent (sandbox)."""
+    from go_html_transform_spark.sources import iceberg as IC
+
+    ddl = IC.sequences_ddl(n_buckets=512)
+    assert "PARTITIONED BY (days(event_time), bucket(512, doc_id))" in ddl
+    assert "USING iceberg" in ddl and "zstd" in ddl
+    assert "PARTITIONED BY (stage)" in IC.lineage_ddl()
+    assert IC.create_tables(spark) is False  # no runtime here -> graceful
+    assert IC.current_snapshot_id(spark, "ghts.feats.sequences") is None
