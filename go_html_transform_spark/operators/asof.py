@@ -79,6 +79,7 @@ def _merge_fn(
     direction: str,
     tolerance: float | None,
     by: str | None = None,
+    allow_exact_matches: bool = True,
 ):
     """Per-cogroup merge. ``by`` set => the group holds MANY entities
     (coarse hash-bucket cogrouping) and merge_asof handles the per-entity
@@ -110,6 +111,7 @@ def _merge_fn(
             by=by,
             direction=direction,
             tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
         )
         return merged[out_cols]
 
@@ -124,14 +126,17 @@ def _asof_union(
     right_time: str,
     direction: str,
     tolerance: float | None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """JVM-native as-of: union-of-tagged-sides + windowed last/first.
 
-    Inclusive-at-t semantics via tag ordering:
-    * backward: right rows sort BEFORE left rows at equal time
-      (tag R=0 < L=1), frame = unboundedPreceding..current
-    * forward: right rows sort AFTER left rows at equal time
-      (tag L=0 < R=1), frame = current..unboundedFollowing
+    Equal-timestamp semantics via tag ordering (flipped when
+    ``allow_exact_matches=False`` — the STRICT mode where a feature may
+    only read data strictly before its own timestamp):
+    * backward inclusive: right rows sort BEFORE left rows at equal time
+      (frame unboundedPreceding..current sees them); strict: after.
+    * forward inclusive: right rows sort AFTER left rows at equal time
+      (frame current..unboundedFollowing sees them); strict: before.
     """
     right_value_cols = [c for c in right.columns if c not in (on, right_time)]
     payload = F.struct(
@@ -158,19 +163,19 @@ def _asof_union(
     t = F.col("__time").cast("timestamp").cast("double")
     matched_cols = {}
     if direction in ("backward", "nearest"):
-        # (time asc, is_r desc) => R before L at equal time -> inclusive
+        r_order = F.col("__is_r").desc() if allow_exact_matches else F.col("__is_r").asc()
         wb = (
             Window.partitionBy(on)
-            .orderBy(F.col("__time").asc(), F.col("__is_r").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+            .orderBy(F.col("__time").asc(), r_order)
+            .rowsBetween(Window.unboundedPreceding, 0 if allow_exact_matches else -1)
         )
         matched_cols["__b"] = F.last("__p", ignorenulls=True).over(wb)
     if direction in ("forward", "nearest"):
-        # (time asc, is_r asc) => R after L at equal time -> inclusive
+        r_order = F.col("__is_r").asc() if allow_exact_matches else F.col("__is_r").desc()
         wf = (
             Window.partitionBy(on)
-            .orderBy(F.col("__time").asc(), F.col("__is_r").asc())
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("__time").asc(), r_order)
+            .rowsBetween(0 if allow_exact_matches else 1, Window.unboundedFollowing)
         )
         matched_cols["__f"] = F.first("__p", ignorenulls=True).over(wf)
 
@@ -217,6 +222,7 @@ def asof_join(
     strategy: str = "union",
     bucket_seconds: int = 86400,
     num_groups: int | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join ``left`` to ``right`` per entity ``on``.
 
@@ -238,7 +244,8 @@ def asof_join(
     right = _dedupe_right(right, on, right_time)
     if strategy == "union":
         return _asof_union(
-            left, right, on, left_time, right_time, direction, tolerance
+            left, right, on, left_time, right_time, direction, tolerance,
+            allow_exact_matches,
         )
     schema = _output_schema(left, right, on, right_time)
     right_value_cols = [c for c in right.columns if c not in (on, right_time)]
@@ -248,7 +255,7 @@ def asof_join(
         n_groups = num_groups or max(16, spark.sparkContext.defaultParallelism * 4)
         fn = _merge_fn(
             left.columns, right_value_cols, left_time, right_time,
-            direction, tolerance, by=on,
+            direction, tolerance, by=on, allow_exact_matches=allow_exact_matches,
         )
         gcol = lambda c: F.pmod(F.xxhash64(c), F.lit(n_groups)).cast("int")  # noqa: E731
         lg = left.withColumn("__g", gcol(F.col(on)))

@@ -144,3 +144,22 @@ def transform_attrib(attrs, key: str, fn) -> Column:
     return F.transform_values(
         m, lambda k, v: F.when(k == F.lit(key), fn(v)).otherwise(v)
     )
+
+
+def subtransform_scoped(tokens, positions, pred, fn) -> Column:
+    """Subtransform with re-rooted scope (transform.go:250-281 +
+    SubtransformCollector): the inner (pred -> fn) rewrite applies only
+    WITHIN the subtree of the first match — in the flat sequence model,
+    the suffix starting at the first matched position. Tokens before the
+    scope pass through untouched even when they satisfy ``pred``.
+
+    ``positions`` is the outer rule's match-position array (as handed to
+    transform fns by Transformer.apply)."""
+    t = _as_col(tokens)
+    start = F.element_at(positions, 1)  # first match, 0-based position
+    return F.transform(
+        t,
+        lambda tok, i: F.when(
+            (i >= start) & pred(tok), fn(tok)
+        ).otherwise(tok),
+    ).cast("array<int>")

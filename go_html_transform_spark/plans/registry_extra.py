@@ -221,3 +221,69 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@register(
+    "transform_subtransform_scoped",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 310) THEN
+                   list_transform(range(len(tokens)),
+                     i -> CASE WHEN i >= list_position(tokens, 310) - 1
+                                AND tokens[i+1] = 982
+                          THEN tokens[i+1] + 1 ELSE tokens[i+1] END)
+                 ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_subtransform_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-rooted Subtransform (transform.go:250-281): rewrite token 982
+    only at or after the first 310 — the flat-model subtree scope."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply(
+        "t310",
+        lambda t, p: X.subtransform_scoped(
+            t, p, lambda tok: tok == 982, lambda tok: tok + 1
+        ),
+    )
+    return tr.df.select(
+        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    )
+
+
+@register(
+    "vocab_token_exemplars",
+    _cte(
+        """
+        SELECT tok, MIN(w) AS exemplar, COUNT(*) AS occurrences
+        FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> length(x) > 0)) AS w,
+                   unnest(list_transform(
+                       list_filter(string_split(text, ' '), x -> length(x) > 0),
+                       x -> CAST((ascii(x) * 7 + ascii(x[-1]) * 131
+                                  + length(x) * 1009) % 1024 AS INTEGER))) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+        """
+    ),
+)
+def vocab_token_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab dimension (token-id -> exemplar string): the h5.Data
+    projection's broadcast-lookup side (SURVEY §2.2) and the engine twin
+    of the tokenizer's token-type string table (tokentype_string.go)."""
+    from go_html_transform_spark.functions.tokenize import word_token_expr
+
+    doc = S.load_table(spark, sf_dir, "documents")
+    words = doc.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("w")
+    ).withColumn("tok", word_token_expr(F.col("w")))
+    return words.groupBy("tok").agg(
+        F.min("w").alias("exemplar"), F.count("*").alias("occurrences")
+    )

@@ -142,3 +142,33 @@ def test_asof_right_dedup_deterministic(spark):
     l, r = _spark_dfs(spark, left, right)
     got = asof_join(l, r, direction="backward")
     assert -999.0 not in set(_engine_result(got).values())
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_asof_strict_no_exact_matches(spark, direction, strategy):
+    """allow_exact_matches=False: STRICT point-in-time (a feature may only
+    read data strictly before/after its own timestamp) — pandas parity."""
+    left, right = _mk_fixture()
+    # plant exact-timestamp collisions so strictness is actually exercised
+    right = right + [(d, t, 123.0) for d, t, _v in left[::7]]
+    l, r = _spark_dfs(spark, left, right)
+    got = asof_join(l, r, direction=direction, strategy=strategy,
+                    allow_exact_matches=False)
+
+    import pandas as pd
+    lp = pd.DataFrame(left, columns=["doc_id", "event_time", "lval"]).sort_values(
+        "event_time", kind="mergesort")
+    rp = (
+        pd.DataFrame(right, columns=["doc_id", "obs_time", "label_value"])
+        .groupby(["doc_id", "obs_time"], as_index=False)["label_value"].max()
+        .sort_values("obs_time", kind="mergesort")
+    )
+    exp = pd.merge_asof(lp, rp, left_on="event_time", right_on="obs_time",
+                        by="doc_id", direction=direction,
+                        allow_exact_matches=False)
+    expected = {
+        (r_.doc_id, r_.event_time): (None if pd.isna(r_.label_value) else r_.label_value)
+        for r_ in exp.itertuples()
+    }
+    assert _engine_result(got) == expected

@@ -217,3 +217,19 @@ def test_priority_ordering(spark):
     high = Transform.parse("#d000000", lambda t, p: X.append_children(t, [3]))
     tr = Transformer(df).apply_all(low, high, by_priority=True)
     assert _result(tr) == [[1, 3, 2]]  # id-rule (1e14) before tag-rule (1)
+
+
+def test_subtransform_scoped_after_match(spark):
+    # Subtransform re-roots at the matched node (transform.go:250-281):
+    # the inner rewrite must NOT touch tokens before the match scope
+    df = spark.createDataFrame(
+        [("d000000", [1, 9, 2, 1, 3], "web"), ("d000001", [1, 1, 1], "web")],
+        "doc_id string, tokens array<int>, source string",
+    )
+    tr = Transformer(df).apply(
+        "t2",
+        lambda t, p: X.subtransform_scoped(t, p, lambda tok: tok == 1, lambda tok: tok + 100),
+    )
+    got = {r.doc_id: r.tokens for r in tr.df.collect()}
+    assert got["d000000"] == [1, 9, 2, 101, 3]  # the 1 BEFORE the 2 untouched
+    assert got["d000001"] == [1, 1, 1]  # no outer match -> untouched
