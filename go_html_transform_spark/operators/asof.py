@@ -275,7 +275,8 @@ def asof_join(
         )
 
     fn = _merge_fn(
-        left.columns, right_value_cols, left_time, right_time, direction, tolerance
+        left.columns, right_value_cols, left_time, right_time, direction,
+        tolerance, allow_exact_matches=allow_exact_matches,
     )
 
     # ---- bucketed strategy -------------------------------------------------

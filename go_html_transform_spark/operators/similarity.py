@@ -116,3 +116,58 @@ def lsh_topk(
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def lsh_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = N_PLANES,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Batched ANN: top-k per query over a bucketed corpus — the real
+    scale path (a single-vector query is a broadcast; a query BATCH is a
+    join). Corpus is bucketed once; queries join on bucket (plus Hamming-1
+    probes via an exploded probe list), cosine scored inside the join,
+    ranked per query with a window top-k.
+
+    Shuffle profile: one exchange per side on the bucket key + one
+    window; candidate volume is |corpus|/2^n_planes per probe.
+    """
+    from pyspark.sql.window import Window
+
+    cvec = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col), cvec.alias("__cv"), lsh_bucket(cvec, n_planes).alias("__b")
+    )
+    qvec = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(query_id_col), qvec.alias("__qv"), lsh_bucket(qvec, n_planes).alias("__qb")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("__qb"),
+            *[
+                F.col("__qb").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("__qb"))
+    q = q.withColumn("__b", F.explode(probes))
+
+    joined = q.join(c, "__b")
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

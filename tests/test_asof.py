@@ -172,3 +172,41 @@ def test_asof_strict_no_exact_matches(spark, direction, strategy):
         for r_ in exp.itertuples()
     }
     assert _engine_result(got) == expected
+
+
+def test_asof_strict_bucketed(spark):
+    left = [("d0", BASE, 1.0)]
+    right = [("d0", BASE, 7.0), ("d0", BASE - dt.timedelta(seconds=5), 3.0)]
+    l, r = _spark_dfs(spark, left, right)
+    got = asof_join(l, r, strategy="bucketed", bucket_seconds=3600,
+                    allow_exact_matches=False)
+    assert list(_engine_result(got).values()) == [3.0]  # exact-at-t excluded
+
+
+def test_asof_zero_leakage_property(spark):
+    """North-rule leakage property on the as-of itself: perturbing every
+    right row AFTER a left timestamp must not change that row's backward
+    join result."""
+    left, right = _mk_fixture()
+    l, r = _spark_dfs(spark, left, right)
+    base = _engine_result(asof_join(l, r, direction="backward"))
+
+    # inject corrupted rows far in the future of every left timestamp:
+    # a leak-free backward join must be bit-identical with or without them
+    r_plus = r.unionByName(
+        spark.createDataFrame(
+            [(d, t + dt.timedelta(days=900), -777.0) for d, t, v in right],
+            "doc_id string, obs_time timestamp, label_value double",
+        )
+    )
+    got = _engine_result(asof_join(l, r_plus, direction="backward"))
+    assert got == base  # future rows invisible to backward as-of
+
+
+def test_asof_invalid_args(spark):
+    left, right = _mk_fixture()
+    l, r = _spark_dfs(spark, left, right)
+    with pytest.raises(ValueError):
+        asof_join(l, r, direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(l, r, strategy="quantum")

@@ -134,3 +134,18 @@ def test_embedding_near_duplicates(spark, vectors):
     }
     assert (0, 1) in pairs
     assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_lsh_topk_batch_matches_single(spark, vectors):
+    """Batched ANN == per-query ANN for every query in the batch."""
+    queries = vectors.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = SIM.lsh_topk_batch(vectors, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    for qid in (0, 1, 2):
+        qv = vectors.filter(f"vec_id = {qid}").collect()[0].embedding
+        single = [r.vec_id for r in SIM.lsh_topk(vectors, list(qv), k=5).collect()]
+        assert got[qid] == single, qid
