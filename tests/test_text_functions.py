@@ -76,3 +76,34 @@ def test_fingerprint_matches_tokenized_text(spark):
     df = _df(spark, ["key agg row scan slow"])
     fp = df.select(TX.fingerprint(tokens_expr("text")).alias("fp")).collect()[0].fp
     assert isinstance(fp, int) and fp > 0
+
+
+def test_pandas_udf_kernels_match_numpy_and_expr(spark):
+    """§2.14 extension point (b): Arrow-batched pandas UDF kernels agree
+    with numpy reference AND the array-native expression twin."""
+    import math
+
+    from go_html_transform_spark.functions import kernels as K
+
+    rows = [(1, [1, 1, 2, 3]), (2, [5]), (3, []), (4, [7, 7, 7, 7])]
+    df = spark.createDataFrame(rows, "id int, tokens array<int>")
+    out = {
+        r.id: (r.ent, r.ent_expr, r.rep)
+        for r in df.select(
+            "id",
+            K.token_entropy("tokens").alias("ent"),
+            K.entropy_expr("tokens").alias("ent_expr"),
+            K.repetition_ratio("tokens").alias("rep"),
+        ).collect()
+    }
+    # numpy/pure-python reference
+    def ent(a):
+        from collections import Counter
+
+        n = len(a)
+        return -sum((c / n) * math.log(c / n) for c in Counter(a).values()) if n else 0.0
+
+    for i, toks in rows:
+        assert abs(out[i][0] - ent(toks)) < 1e-9, i
+        assert abs(out[i][1] - ent(toks)) < 1e-9, i  # expression twin agrees
+    assert out[1][2] == 0.25 and out[4][2] == 0.75 and out[3][2] == 0.0
