@@ -16,7 +16,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def seq(spark):
-    return S.sequences(spark, SF_DIR).cache()
+    df = S.sequences(spark, SF_DIR).cache()
+    yield df
+    # unpersist so later plan-audit tests see the raw parquet scan, not an
+    # InMemoryTableScan substituted by the cache manager
+    df.unpersist()
 
 
 def array_native(seq, rule):
