@@ -293,38 +293,78 @@ def compile_chain(
     row_pred = reduce(lambda a, b: a & b, (c.row_pred for c in compiled))
     allows_empty = any(c.allows_empty for c in compiled)
 
-    pos = _seq_positions(compiled[0], tokens)
-    for link, cs in zip(chain.links, compiled[1:]):
-        cand = _seq_positions(cs, tokens)
-        prev = pos
+    def _link_positions(link, prev, cand):
+        """Next-stage positions. SET-NATIVE: no lambda captures the outer
+        row — interpreted HOF lambdas re-evaluate any captured outer-row
+        subexpression once PER ELEMENT, an O(n²) trap — so every combinator
+        is expressed with array_intersect/array_remove over shifted copies
+        of ``prev`` (each evaluated once per row). ``cand`` is unique
+        ascending; array_intersect preserves first-arg order, keeping the
+        result unique ascending."""
         if link.combinator == Combinator.DESCENDANT:
             # q strictly after some p in P  <=>  q > min(P)
             # (Link.Find descendant walks the subtree under each context
             # node, data.go:278-284)
-            pos = F.when(
-                F.size(prev) > 0,
-                F.filter(cand, lambda q: q > F.array_min(prev)),
+            # cand ∩ (min(P), n): the candidate positions strictly after the
+            # first context match, as one range-intersect per row
+            m = F.array_min(prev)  # NULL when prev empty -> otherwise branch
+            return F.when(
+                (F.size(prev) > 0) & (m + 1 <= n - 1),
+                F.array_intersect(cand, F.sequence(m + 1, n - 1)),
             ).otherwise(_empty())
-        elif link.combinator == Combinator.CHILD:
-            # immediately-next position (data.go:285-291)
-            pos = F.filter(cand, lambda q: F.array_contains(prev, q - 1))
-        elif link.combinator == Combinator.ADJACENT:
-            # BOTH directions — reference quirk (data.go:292-299)
-            pos = F.filter(
+        if link.combinator == Combinator.CHILD:
+            # immediately-next position (data.go:285-291): cand ∩ (P+1)
+            return F.array_intersect(cand, F.transform(prev, lambda p: p + 1))
+        if link.combinator == Combinator.ADJACENT:
+            # BOTH directions — reference quirk (data.go:292-299):
+            # cand ∩ (P+1 ∪ P−1)
+            return F.array_intersect(
                 cand,
-                lambda q: F.array_contains(prev, q - 1) | F.array_contains(prev, q + 1),
+                F.concat(
+                    F.transform(prev, lambda p: p + 1),
+                    F.transform(prev, lambda p: p - 1),
+                ),
             )
-        elif link.combinator == Combinator.SIBLING:
-            # any other position, both directions (data.go:300-311)
-            pos = F.filter(cand, lambda q: F.size(F.array_remove(prev, q)) > 0)
-        else:  # pragma: no cover
-            raise ValueError(f"unknown combinator {link.combinator}")
+        if link.combinator == Combinator.SIBLING:
+            # any other position, both directions (data.go:300-311):
+            # |P|>=2 -> all of cand; |P|==1 -> cand minus that position
+            return F.when(F.size(prev) == 0, _empty()).when(
+                F.size(prev) >= 2, cand
+            ).otherwise(F.array_remove(cand, F.element_at(prev, 1)))
+        raise ValueError(f"unknown combinator {link.combinator}")  # pragma: no cover
 
-    positions = F.array_sort(F.array_distinct(pos)).cast("array<int>")
+    # Positions chain. Every stage emits a strictly-increasing unique array
+    # (head: index-ordered fused transform+filter; links: order-preserving
+    # set ops over such arrays), so the identity-set dedup + document order
+    # of Chain.Find (data.go:330-343) hold by construction — no
+    # sort/distinct pass needed.
+    pos = _seq_positions(compiled[0], tokens)
+    for link, cs in zip(chain.links, compiled[1:]):
+        cand = _seq_positions(cs, tokens)
+        pos = _link_positions(link, pos, cand)
+    positions = pos.cast("array<int>")
+
     if allows_empty:
         # :empty matches the (childless) row itself; the match set has no
         # positions, the row predicate carries the whole condition.
         matched = row_pred & (n == 0)
+    elif not chain.links and compiled[0].tok_preds:
+        # single-sequence fast path: one fused pass, no positions array —
+        # transforms that ignore match positions then never pay for it
+        cs0 = compiled[0]
+
+        def keep(tok, p):
+            cond = F.lit(True)
+            for tp in cs0.tok_preds:
+                cond = cond & tp(tok, p, n)
+            return cond
+
+        matched = row_pred & (F.size(F.filter(tokens, keep)) > 0)
+    elif not chain.links:
+        matched = row_pred & (n > 0)
     else:
+        # chains: the set-native positions are cheap (one pass per stage);
+        # emptiness shares the whole subtree with `positions` via Catalyst
+        # subexpression elimination
         matched = row_pred & (F.size(positions) > 0)
     return CompiledRule(chain, positions, matched, chain.specificity)
