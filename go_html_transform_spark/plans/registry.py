@@ -41,6 +41,7 @@ def _load_extensions() -> None:
     # (dedup / similarity / text analysis) — kept in a sibling module so
     # this file stays navigable
     from go_html_transform_spark.plans import registry_extra  # noqa: F401
+    from go_html_transform_spark.plans import registry_more  # noqa: F401
     from go_html_transform_spark.plans import registry_pipeline  # noqa: F401
 
 

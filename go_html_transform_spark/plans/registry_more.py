@@ -1,0 +1,263 @@
+"""Registry extension 3: the remaining SURVEY.md §2 line items as
+oracle-checked queries — prepend/remove/replace mutation ops
+(transform.go:169-201), pseudo-class position predicates
+(css/selector/data.go:136-145), the reference-TODO attr substring matchers
+(parse.go:104), set operations over match sets (§2.8), rollup aggregation,
+top-k, and the brute-force embedding near-dup pass (training-data op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import transforms as X
+from go_html_transform_spark.plans.pipeline import Transformer
+from go_html_transform_spark.plans.registry import _cte, register
+from go_html_transform_spark.sources import tables as S
+
+
+def _tokens_csv(df: DataFrame) -> DataFrame:
+    return df.select("event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 remaining mutation operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transform_prepend",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 982)
+                      THEN list_concat([7], tokens) ELSE tokens END, ',')
+               AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrependChildren (transform.go:169-176): insert before FirstChild on
+    rows matching rule `t982`."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply("t982", lambda t, p: X.prepend_children(t, [7]))
+    return _tokens_csv(tr.df)
+
+
+@register(
+    "transform_remove_children",
+    _cte(
+        """
+        SELECT event_id,
+               CASE WHEN source = 'src2' THEN ''
+                    ELSE array_to_string(tokens, ',') END AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_remove_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoveChildren (transform.go:178-190): drop the whole child list of
+    rows matched by the class-analogue rule `.src2` (source == 'src2')."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply(".src2", lambda t, p: X.remove_children(t))
+    return _tokens_csv(tr.df)
+
+
+@register(
+    "transform_replace_children",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 756)
+                      THEN [5, 6, 7] ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_replace_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplaceChildren (transform.go:192-201): remove all then append the
+    given nodes, on rows matching rule `t756`."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply("t756", lambda t, p: X.replace_children(t, [5, 6, 7]))
+    return _tokens_csv(tr.df)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 pseudo-class predicates (data.go:136-145)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "match_pseudo_first_child",
+    _cte("SELECT event_id FROM seq WHERE tokens[1] = 982"),
+)
+def match_pseudo_first_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`t982:first-child` — token 982 at position 0 (Parent.FirstChild == n,
+    data.go:138-139; :root is the same predicate in the flat model)."""
+    seq = S.sequences(spark, sf_dir)
+    return Transformer(seq).matched("t982:first-child").select("event_id")
+
+
+@register(
+    "match_pseudo_last_child",
+    _cte("SELECT event_id FROM seq WHERE tokens[len(tokens)] = 982"),
+)
+def match_pseudo_last_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`t982:last-child` — token 982 at the final position
+    (Parent.LastChild == n, data.go:140-141)."""
+    seq = S.sequences(spark, sf_dir)
+    return Transformer(seq).matched("t982:last-child").select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 attr substring matchers — tokenized but unparsed in the reference
+# (TODO css/selector/parse.go:104); first-class here
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "match_attr_substring_ops",
+    _cte(
+        """
+        SELECT event_id, 'prefix' AS op FROM seq
+        WHERE json_extract_string(props, '$.k') LIKE '6%'
+        UNION ALL
+        SELECT event_id, 'suffix' AS op FROM seq
+        WHERE json_extract_string(props, '$.k') LIKE '%9'
+        UNION ALL
+        SELECT event_id, 'substring' AS op FROM seq
+        WHERE json_extract_string(props, '$.k') LIKE '%2%'
+        """
+    ),
+)
+def match_attr_substring_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`[k^=6]` / `[k$=9]` / `[k*=2]` over the props attr map — the ^= $= *=
+    modes the reference tokenizes (tokenizer.go:467-472) but never parses."""
+    seq = S.sequences(spark, sf_dir).withColumn(
+        "attrs", F.from_json("props", "map<string,string>")
+    )
+    tr = Transformer(seq, attrs_col="attrs")
+    parts = [
+        tr.matched("[k^=6]").select("event_id", F.lit("prefix").alias("op")),
+        tr.matched("[k$=9]").select("event_id", F.lit("suffix").alias("op")),
+        tr.matched("[k*=2]").select("event_id", F.lit("substring").alias("op")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations over match sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "match_set_intersect_except",
+    _cte(
+        """
+        SELECT event_id, 'both' AS tag FROM (
+            SELECT event_id FROM seq WHERE list_contains(tokens, 982)
+            INTERSECT
+            SELECT event_id FROM seq WHERE list_contains(tokens, 756)
+        )
+        UNION ALL
+        SELECT event_id, 'only_982' AS tag FROM (
+            SELECT event_id FROM seq WHERE list_contains(tokens, 982)
+            EXCEPT
+            SELECT event_id FROM seq WHERE list_contains(tokens, 756)
+        )
+        """
+    ),
+)
+def match_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect/exceptAll over two rules' match sets — the set-op layer the
+    reference lacks (SURVEY §2.8 'absent')."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq)
+    a = tr.matched("t982").select("event_id")
+    b = tr.matched("t756").select("event_id")
+    return a.intersect(b).withColumn("tag", F.lit("both")).unionByName(
+        a.exceptAll(b).withColumn("tag", F.lit("only_982"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 rollup aggregation + §2.8 top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_source_lang",
+    _cte(
+        """
+        SELECT source, lang, COUNT(*) AS n, SUM(n_tok) AS sum_n_tok
+        FROM seq GROUP BY ROLLUP (source, lang)
+        """
+    ),
+)
+def agg_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (source -> lang -> grand total) — partial
+    map-side aggregation, one shuffle."""
+    seq = S.sequences(spark, sf_dir)
+    return seq.rollup("source", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("sum_n_tok")
+    )
+
+
+@register(
+    "topk_longest_sequences",
+    _cte(
+        """
+        SELECT event_id, n_tok FROM seq
+        ORDER BY n_tok DESC, event_id LIMIT 20
+        """
+    ),
+)
+def topk_longest_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit top-k — physical plan is TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a global sort."""
+    seq = S.sequences(spark, sf_dir)
+    return (
+        seq.select("event_id", "n_tok")
+        .orderBy(F.col("n_tok").desc(), "event_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data op: brute-force embedding cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_pairs",
+    """
+    SELECT id_a, id_b, ROUND(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(len(a.embedding)),
+                        i -> CAST(a.embedding[i+1] AS DOUBLE)
+                             * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                                x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                                  x -> CAST(x AS DOUBLE) * x)))) AS c
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+    ) WHERE c >= 0.4
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, brute-force O(n^2) baseline
+    (the LSH-bucketed path is sim_lsh_*). Threshold on the RAW similarity;
+    output rounded to 6 decimals for the cross-engine hash."""
+    emb = S.load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )  # float math widened BEFORE multiply, matching the oracle's CASTs
+    return D.embedding_near_duplicates(emb, threshold=0.4)
