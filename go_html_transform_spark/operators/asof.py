@@ -37,8 +37,10 @@ strategies (never per-row Python):
     at most 2 carried rows. Bucket width is a tuning knob; carries add at
     most 2 rows per (entity, bucket).
 
-Determinism: right side is first reduced to one row per (key, time) —
-ties on the as-of key would otherwise make the winner engine-dependent.
+Determinism: duplicate right rows at the same (key, time) resolve to the
+row-lexicographic MAX over the value columns in every strategy — the union
+strategy picks it inside its window sort (zero extra cost); cogroup and
+bucketed materialize it with a groupBy max(struct) pre-pass.
 """
 
 from __future__ import annotations
@@ -54,11 +56,16 @@ DIRECTIONS = ("backward", "forward", "nearest")
 
 
 def _dedupe_right(right: DataFrame, on: str, right_time: str) -> DataFrame:
-    """One row per (key, time): keep the max over remaining columns —
-    deterministic regardless of partitioning."""
+    """One row per (key, time): keep the row-lexicographic max over the
+    value columns (an actual input row) — deterministic regardless of
+    partitioning, and identical to the union strategy's in-window
+    tie-break so every strategy agrees on duplicate (key, time) rows."""
     value_cols = [c for c in right.columns if c not in (on, right_time)]
-    return right.groupBy(on, right_time).agg(
-        *[F.max(c).alias(c) for c in value_cols]
+    if not value_cols:
+        return right.dropDuplicates([on, right_time])
+    agg = F.max(F.struct(*value_cols)).alias("__s")
+    return right.groupBy(on, right_time).agg(agg).select(
+        on, right_time, *[F.col("__s")[c].alias(c) for c in value_cols]
     )
 
 
@@ -162,11 +169,16 @@ def _asof_union(
 
     t = F.col("__time").cast("timestamp").cast("double")
     matched_cols = {}
+    # Final sort key __p replaces the right-side pre-dedupe ENTIRELY for
+    # this strategy: among duplicate right (key, time) rows, last() under
+    # __p ASC (resp. first() under __p DESC) picks the row-lexicographic
+    # max payload — the same winner _dedupe_right materializes for the
+    # cogroup/bucketed strategies, but with ZERO extra shuffle.
     if direction in ("backward", "nearest"):
         r_order = F.col("__is_r").desc() if allow_exact_matches else F.col("__is_r").asc()
         wb = (
             Window.partitionBy(on)
-            .orderBy(F.col("__time").asc(), r_order)
+            .orderBy(F.col("__time").asc(), r_order, F.col("__p").asc())
             .rowsBetween(Window.unboundedPreceding, 0 if allow_exact_matches else -1)
         )
         matched_cols["__b"] = F.last("__p", ignorenulls=True).over(wb)
@@ -174,7 +186,7 @@ def _asof_union(
         r_order = F.col("__is_r").asc() if allow_exact_matches else F.col("__is_r").desc()
         wf = (
             Window.partitionBy(on)
-            .orderBy(F.col("__time").asc(), r_order)
+            .orderBy(F.col("__time").asc(), r_order, F.col("__p").desc())
             .rowsBetween(0 if allow_exact_matches else 1, Window.unboundedFollowing)
         )
         matched_cols["__f"] = F.first("__p", ignorenulls=True).over(wf)
@@ -241,12 +253,14 @@ def asof_join(
     if strategy not in ("union", "cogroup", "bucketed"):
         raise ValueError("strategy must be 'union', 'cogroup' or 'bucketed'")
 
-    right = _dedupe_right(right, on, right_time)
     if strategy == "union":
+        # no pre-dedupe shuffle: duplicate (key, time) right rows are
+        # resolved inside the single window sort (see _asof_union)
         return _asof_union(
             left, right, on, left_time, right_time, direction, tolerance,
             allow_exact_matches,
         )
+    right = _dedupe_right(right, on, right_time)
     schema = _output_schema(left, right, on, right_time)
     right_value_cols = [c for c in right.columns if c not in (on, right_time)]
 
