@@ -56,7 +56,11 @@ def main() -> None:
     # N-vs-4N evidence needs a compute-bound working set. Replication
     # suffixes doc_id so the ENTITY count scales with the row count (as it
     # would at 10^12 rows), keeping per-entity timelines identical.
-    rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    # Default x100 (10M sequences at sf0.1): the sandbox SFs are small
+    # enough that JVM/task overheads swamp the compute below ~10^7 rows;
+    # entity-suffixed replication keeps per-entity timelines identical
+    # while scaling the entity count with the row count.
+    rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "100"))
     if rep > 1:
         r = spark.range(rep).select(F.col("id").alias("__rep"))
 
