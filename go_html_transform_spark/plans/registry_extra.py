@@ -287,3 +287,26 @@ def vocab_token_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("tok").agg(
         F.min("w").alias("exemplar"), F.count("*").alias("occurrences")
     )
+
+
+@register("streaming_stateful_features")  # applyInPandasWithState: rows-only
+def streaming_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    entity running session/cumulative features with GroupState carried
+    across micro-batches — cross-batch parity vs the batch window bundle
+    asserted in tests/test_multimodal_streaming.py."""
+    from go_html_transform_spark.streaming import stream as ST
+
+    s = ST.stream_sequences(spark, sf_dir)
+    out = ST.streaming_stateful_features(s, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reg_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("reg_stateful").select(
+        "doc_id", "event_id", "session_id", "cum_events", "cum_n_tok"
+    )

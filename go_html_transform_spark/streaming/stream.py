@@ -121,6 +121,98 @@ def streaming_rule_counts(
     )
 
 
+def streaming_stateful_features(
+    seq_stream: DataFrame,
+    gap_seconds: int = 1800,
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-entity
+    RUNNING features carried in GroupState across micro-batches — the
+    stateful streaming twin of the batch window bundle
+    (operators/window.py:add_features):
+
+    * ``session_id`` — gap-based sessionization continued across batches
+      (identical semantics to batch sessionize: new session when the gap
+      from the previous event exceeds ``gap_seconds``)
+    * ``cum_events`` / ``cum_n_tok`` — lifetime running count/sum
+    * ``gap_prev_s`` — seconds since the entity's previous event
+
+    State per entity is 4 scalars (last_us, session_id, cum_events,
+    cum_n_tok) — bounded, and evictable via an optional processing-time
+    timeout (``idle_timeout_minutes``) so the 10^8-entity stream doesn't
+    grow state without bound. Within a batch the group is processed as a
+    numpy-vectorized block (no per-row Python). Ordering contract:
+    per-entity in-order arrival (the norm for key-partitioned logs);
+    within a batch rows are sorted by (event_time, event_id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "doc_id string, event_id long, event_time timestamp, n_tok int, "
+        "session_id int, cum_events long, cum_n_tok long, gap_prev_s double"
+    )
+    state_schema = "last_us long, session_id int, cum_events long, cum_n_tok long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (doc_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, session_id, cum_events, cum_n_tok = (
+            state.get if state.exists else (None, -1, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                ["event_time", "event_id"], kind="mergesort", ignore_index=True
+            )
+            ts_us = batch["event_time"].astype("int64").to_numpy() // 1_000
+            prev_us = np.roll(ts_us, 1).astype("float64")
+            prev_us[0] = float(last_us) if last_us is not None else np.nan
+            gap_s = (ts_us - prev_us) / 1e6
+            is_new = np.isnan(gap_s) | (gap_s > gap_seconds)
+            sessions = session_id + np.cumsum(is_new)
+            n_tok = batch["n_tok"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "event_id": batch["event_id"],
+                    "event_time": batch["event_time"],
+                    "n_tok": batch["n_tok"],
+                    "session_id": sessions.astype("int32"),
+                    "cum_events": cum_events + np.arange(1, len(batch) + 1),
+                    "cum_n_tok": cum_n_tok + np.cumsum(n_tok.astype("int64")),
+                    "gap_prev_s": gap_s,
+                }
+            )
+            state.update(
+                (
+                    int(ts_us[-1]),
+                    int(sessions[-1]),
+                    int(cum_events + len(batch)),
+                    int(cum_n_tok + int(n_tok.sum())),
+                )
+            )
+            yield out
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60_000)
+
+    return (
+        seq_stream.withColumn("event_time", F.col("event_time").cast("timestamp"))
+        .select("doc_id", "event_id", "event_time", "n_tok")
+        .groupBy("doc_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; returns the
     materialized result (test/driver helper)."""

@@ -92,3 +92,78 @@ def test_streaming_rule_counts(spark):
 
     total_batch = Transformer(sequences(spark, SF_DIR)).matched("t982").count()
     assert total_stream == total_batch
+
+
+def test_stateful_features_cross_batch_parity(spark, tmp_path):
+    """applyInPandasWithState running features: three time-sliced files ->
+    three micro-batches; GroupState must carry (last_ts, session, cums)
+    across batches and reproduce the batch window bundle exactly."""
+    from pyspark.sql.window import Window
+
+    from go_html_transform_spark.sources.tables import sequences
+
+    base = (
+        sequences(spark, SF_DIR)
+        .select("doc_id", "event_id", "event_time", "n_tok")
+        .withColumn("event_time", F.col("event_time").cast("timestamp"))
+        .dropDuplicates(["doc_id", "event_time"])
+    )
+    t1, t2 = [
+        r for r in base.select(F.percentile_approx("event_time", [0.33, 0.66], 10000)).first()[0]
+    ]
+    slices = [
+        base.filter(F.col("event_time") <= F.lit(t1)),
+        base.filter((F.col("event_time") > F.lit(t1)) & (F.col("event_time") <= F.lit(t2))),
+        base.filter(F.col("event_time") > F.lit(t2)),
+    ]
+    src = str(tmp_path / "slices")
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_stateful_features(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_feats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stateful_feats")
+
+    w = Window.partitionBy("doc_id").orderBy("event_time", "event_id")
+    wcur = w.rowsBetween(Window.unboundedPreceding, 0)
+    # µs precision to match the stateful op (batch sessionize truncates to
+    # whole seconds; same sessions whenever no gap straddles the boundary)
+    secs = F.unix_micros(F.col("event_time")) / F.lit(1e6)
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    expected = base.select(
+        "doc_id",
+        "event_id",
+        (F.sum(is_new).over(wcur) - 1).alias("session_id"),
+        F.row_number().over(w).alias("cum_events"),
+        F.sum("n_tok").over(wcur).alias("cum_n_tok"),
+        gap.cast("double").alias("gap_prev_s"),
+    )
+    def key(r):
+        return (r.session_id, r.cum_events, r.cum_n_tok, r.gap_prev_s)
+
+    def same(a, b):
+        if a[:3] != b[:3]:
+            return False
+        ga, gb = a[3], b[3]
+        if ga is None or gb is None:
+            return ga is gb
+        return abs(ga - gb) < 1e-3
+
+    g = {r.event_id: key(r) for r in got.collect()}
+    e = {r.event_id: key(r) for r in expected.collect()}
+    assert len(g) == len(e) > 0
+    mismatches = {k: (g[k], e[k]) for k in e if k not in g or not same(g[k], e[k])}
+    assert not mismatches, list(mismatches.items())[:5]
