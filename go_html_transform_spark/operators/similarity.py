@@ -171,3 +171,89 @@ def lsh_topk_batch(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruning scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse codebook: the k lowest-id vectors seed the
+    centroids (production would Lloyd-iterate; the sandbox pins seeds so
+    the DuckDB oracle reproduces the identical partition assignment —
+    quantizer QUALITY is orthogonal to the distributed search structure).
+    Returns driver-side rows: k is small by design (codebooks broadcast)."""
+    rows = (
+        emb.filter(F.col(id_col) < k)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    return sorted((int(r[0]), list(r[1])) for r in rows)
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine centroid — ZERO shuffle:
+    the codebook is inlined as literals, the argmax is an array_max over
+    k (cos, -centroid_id) structs computed per row inside one projection.
+    At 10^12 rows this is the map-side quantization pass that feeds a
+    cluster-partitioned (Iceberg `bucket(centroid_id)`) layout, after
+    which every probe is partition-pruned to nprobe/k of the data."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(v, _lit_vec(cv)).alias("c"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return emb.withColumn(out_col, (-F.array_max(scored)["negid"]).cast("int"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids against the query driver-side, probe
+    the nprobe nearest clusters only, exact-score the candidates. One
+    stage: filter + TakeOrderedAndProject, no shuffle, no Python."""
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    q = _lit_vec(query_vec)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("centroid_id").isin(probes))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -261,3 +261,88 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )  # float math widened BEFORE multiply, matching the oracle's CASTs
     return D.embedding_near_duplicates(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — deterministic seed codebook, fully oracle-checkable
+# ---------------------------------------------------------------------------
+
+_IVF_COS = (
+    "list_sum(list_transform(range(len({a})), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+)
+
+_IVF_ASSIGN_CTE = f"""
+    c AS (SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cvec')} DESC,
+                          c.cid
+               ) AS rk
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rk = 1)
+"""
+
+
+@register(
+    "sim_ivf_cluster_sizes",
+    f"""
+    WITH {_IVF_ASSIGN_CTE}
+    SELECT cid AS centroid_id, COUNT(*) AS n FROM a GROUP BY cid
+    """,
+)
+def sim_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization over the whole corpus: zero-shuffle literal-
+    codebook argmax assignment (operators/similarity.py:ivf_assign), then a
+    size histogram. At production scale this pass feeds a
+    bucket(centroid_id)-partitioned layout for partition-pruned probes."""
+    from go_html_transform_spark.operators import similarity as SIM
+
+    emb = S.load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, k=8)
+    return (
+        SIM.ivf_assign(emb, cents)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH {_IVF_ASSIGN_CTE},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_IVF_COS.format(a='c.cvec', b='q.qv')} DESC, c.cid
+               ) AS rk
+        FROM c CROSS JOIN q
+      ) WHERE rk <= 2)
+    SELECT vec_id, cos FROM (
+      SELECT e.vec_id,
+             ROUND({_IVF_COS.format(a='e.embedding', b='q.qv')}, 6) AS cos
+      FROM embeddings e
+      JOIN a ON a.vec_id = e.vec_id
+      CROSS JOIN q
+      WHERE a.cid IN (SELECT cid FROM probes)
+    ) ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for the vec_id=0 query: probe the 2 nearest of 8
+    clusters, exact-score candidates — filter + TakeOrderedAndProject,
+    no shuffle."""
+    from go_html_transform_spark.operators import similarity as SIM
+
+    emb = S.load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, k=8)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return SIM.ivf_topk(emb, list(qv), cents, k=10, nprobe=2)

@@ -149,3 +149,37 @@ def test_lsh_topk_batch_matches_single(spark, vectors):
         qv = vectors.filter(f"vec_id = {qid}").collect()[0].embedding
         single = [r.vec_id for r in SIM.lsh_topk(vectors, list(qv), k=5).collect()]
         assert got[qid] == single, qid
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    """Every vector lands in exactly one of the k clusters; a centroid's
+    own vector is assigned to itself (cos=1 is the max)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    assert [c[0] for c in cents] == list(range(8))
+    assigned = SIM.ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.count() == n
+    by_cluster = dict(
+        assigned.groupBy("centroid_id").count().collect()
+    )
+    assert sum(by_cluster.values()) == n
+    own = {r.vec_id: r.centroid_id for r in assigned.filter("vec_id < 8").collect()}
+    assert own == {i: i for i in range(8)}
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    """nprobe=8 (all clusters) == exact brute force; nprobe=2 keeps
+    reasonable recall. Physical plan: no exchange, no Python."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    qv = list(emb.filter("vec_id = 0").collect()[0].embedding)
+    exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    allprobe = [r.vec_id for r in SIM.ivf_topk(emb, qv, cents, k=10, nprobe=8).collect()]
+    assert allprobe == exact
+    approx = [r.vec_id for r in SIM.ivf_topk(emb, qv, cents, k=10, nprobe=2).collect()]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3, (approx, exact)
+    plan = SIM.ivf_topk(emb, qv, cents, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan
