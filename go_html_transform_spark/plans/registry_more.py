@@ -346,3 +346,56 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = SIM.ivf_centroids(emb, k=8)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
     return SIM.ivf_topk(emb, list(qv), cents, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 remaining simple selectors: universal, id, :root
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "match_universal_positions",
+    _cte(
+        """
+        SELECT event_id, n_tok AS n_matches, 0 AS first_pos
+        FROM seq WHERE n_tok > 0
+        """
+    ),
+)
+def match_universal_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal `*` (data.go:20-21): every position matches — the full-scan
+    Sequence.Find with an always-true predicate."""
+    seq = S.sequences(spark, sf_dir)
+    m = Transformer(seq).matched("*")
+    return m.select(
+        "event_id",
+        F.size("match_pos").alias("n_matches").cast("int"),
+        F.element_at("match_pos", 1).alias("first_pos"),
+    )
+
+
+@register(
+    "match_id_selector",
+    _cte(
+        """
+        SELECT event_id FROM seq
+        WHERE doc_id = 'd000007' AND list_contains(tokens, 982)
+        """
+    ),
+)
+def match_id_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id selector `t982#d000007` (data.go:155-158): row-level doc_id
+    equality conjoined with the tag predicate."""
+    seq = S.sequences(spark, sf_dir)
+    return Transformer(seq).matched("t982#d000007").select("event_id")
+
+
+@register(
+    "match_pseudo_root",
+    _cte("SELECT event_id FROM seq WHERE tokens[1] = 756"),
+)
+def match_pseudo_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`t756:root` — no-parent in the flat sequence model = position 0
+    (data.go:136-137)."""
+    seq = S.sequences(spark, sf_dir)
+    return Transformer(seq).matched("t756:root").select("event_id")
