@@ -189,6 +189,8 @@ class _CompiledSeq:
     row_pred: Column
     tok_preds: list  # callables (tok, pos, n) -> Column
     allows_empty: bool
+    tag_ids: list  # int token ids of TAG parts (codegen fast-path metadata)
+    has_pos_pred: bool  # any position-dependent pseudo predicate
 
 
 @dataclass
@@ -212,9 +214,12 @@ def _compile_sequence(
     row_preds: list[Column] = []
     tok_preds: list = []
     allows_empty = False
+    tag_ids: list[int] = []
+    has_pos_pred = False
     for part in seq.parts:
         if part.kind == PartKind.TAG:
             tid = int(part.value.lstrip("t"))
+            tag_ids.append(tid)
             tok_preds.append(lambda tok, pos, n, _t=tid: tok == F.lit(_t))
         elif part.kind == PartKind.UNIVERSAL:
             pass
@@ -228,10 +233,13 @@ def _compile_sequence(
             row_preds.append(_attr_pred(part, attrs))
         elif part.kind == PartKind.PSEUDO:
             if part.value in ("first-child", "root"):
+                has_pos_pred = True
                 tok_preds.append(lambda tok, pos, n: pos == F.lit(0))
             elif part.value == "last-child":
+                has_pos_pred = True
                 tok_preds.append(lambda tok, pos, n: pos == n - 1)
             elif part.value == "only-child":
+                has_pos_pred = True
                 tok_preds.append(lambda tok, pos, n: n == F.lit(1))
             elif part.value == "empty":
                 # :empty is inherently row-level in the flat model
@@ -243,7 +251,7 @@ def _compile_sequence(
                 # (data.go:146-148); the engine fails at compile time.
                 raise ValueError(f"unsupported pseudo-class :{part.value}")
     row_pred = reduce(lambda a, b: a & b, row_preds) if row_preds else F.lit(True)
-    return _CompiledSeq(row_pred, tok_preds, allows_empty)
+    return _CompiledSeq(row_pred, tok_preds, allows_empty, tag_ids, has_pos_pred)
 
 
 def _seq_positions(cs: _CompiledSeq, tokens: Column) -> Column:
@@ -349,17 +357,28 @@ def compile_chain(
         # positions, the row predicate carries the whole condition.
         matched = row_pred & (n == 0)
     elif not chain.links and compiled[0].tok_preds:
-        # single-sequence fast path: one fused pass, no positions array —
-        # transforms that ignore match positions then never pay for it
+        # single-sequence fast path: no positions array — transforms that
+        # ignore match positions then never pay for it
         cs0 = compiled[0]
+        if cs0.tag_ids and not cs0.has_pos_pred:
+            # pure tag conjunction: whole-stage-codegen'd array_contains
+            # (filter/exists/transform are interpreted CodegenFallback).
+            # Distinct ids can't all equal one token -> statically false.
+            tids = sorted(set(cs0.tag_ids))
+            matched = (
+                row_pred & F.array_contains(tokens, F.lit(tids[0]))
+                if len(tids) == 1
+                else F.lit(False)
+            )
+        else:
 
-        def keep(tok, p):
-            cond = F.lit(True)
-            for tp in cs0.tok_preds:
-                cond = cond & tp(tok, p, n)
-            return cond
+            def keep(tok, p):
+                cond = F.lit(True)
+                for tp in cs0.tok_preds:
+                    cond = cond & tp(tok, p, n)
+                return cond
 
-        matched = row_pred & (F.size(F.filter(tokens, keep)) > 0)
+            matched = row_pred & (F.size(F.filter(tokens, keep)) > 0)
     elif not chain.links:
         matched = row_pred & (n > 0)
     else:
