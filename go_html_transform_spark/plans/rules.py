@@ -382,8 +382,13 @@ def compile_chain(
     elif not chain.links:
         matched = row_pred & (n > 0)
     else:
-        # chains: the set-native positions are cheap (one pass per stage);
-        # emptiness shares the whole subtree with `positions` via Catalyst
-        # subexpression elimination
-        matched = row_pred & (F.size(positions) > 0)
+        # chains: codegen'd array_contains guards for every stage's tag ids
+        # short-circuit the interpreted positional check — rows missing any
+        # required token never evaluate it. The positional subtree is shared
+        # with `positions` via Catalyst subexpression elimination.
+        guard = F.lit(True)
+        for cs in compiled:
+            for tid in sorted(set(cs.tag_ids)):
+                guard = guard & F.array_contains(tokens, F.lit(tid))
+        matched = row_pred & guard & (F.size(positions) > 0)
     return CompiledRule(chain, positions, matched, chain.specificity)
