@@ -93,9 +93,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    jvm = spark.sparkContext._jvm
+
     def timed(name: str, fn) -> None:
         best = None
-        for _ in range(2):  # min-of-2: drops codegen/JIT warmup noise
+        for _ in range(3):  # min-of-3: drops codegen/JIT warmup noise
+            # JMH-style forced GC between iterations: deferred cleanup debt
+            # (shuffle-file cleaner, dead cache blocks) from the previous
+            # iteration otherwise lands in this one's wall time — measured
+            # 1.5-2x bimodal noise without it.
+            jvm.System.gc()
+            time.sleep(1)
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
