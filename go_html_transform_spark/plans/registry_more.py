@@ -399,3 +399,83 @@ def match_pseudo_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     (data.go:136-137)."""
     seq = S.sequences(spark, sf_dir)
     return Transformer(seq).matched("t756:root").select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# strict as-of (allow_exact_matches=False) + insert_before + keep-first dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_backward_strict",
+    _cte(
+        """, labd AS (SELECT doc_id, obs_time, MAX(label_value) AS label_value
+                      FROM lab GROUP BY doc_id, obs_time)
+        SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time > l.obs_time
+        """
+    ),
+)
+def asof_backward_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT backward as-of (allow_exact_matches=False): a feature may
+    only read labels STRICTLY before its own timestamp — the hard form of
+    the zero-leakage guarantee, oracle-checked via DuckDB's strict ASOF."""
+    from go_html_transform_spark.operators.asof import asof_join
+
+    seq = S.sequences(spark, sf_dir).select("doc_id", "event_time", "event_id")
+    lab = S.labels(spark, sf_dir)
+    out = asof_join(
+        seq, lab, on="doc_id", left_time="event_time", right_time="obs_time",
+        direction="backward", allow_exact_matches=False,
+    )
+    return out.select("event_id", F.round("label_value", 4).alias("label_value"))
+
+
+@register(
+    "transform_insert_before",
+    _cte(
+        """
+        SELECT event_id,
+               array_to_string(
+                 CASE WHEN list_contains(tokens, 982) THEN
+                   list_concat(
+                     list_concat(tokens[1:list_position(tokens, 982) - 1],
+                                 [11, 12]),
+                     tokens[list_position(tokens, 982):])
+                 ELSE tokens END, ',') AS tokens_csv
+        FROM seq
+        """
+    ),
+)
+def transform_insert_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert_before (CopyAnd's clone-placement half, transform.go:239-244):
+    insert [11,12] before the FIRST occurrence of token 982."""
+    seq = S.sequences(spark, sf_dir)
+    tr = Transformer(seq).apply(
+        "t982", lambda t, p: X.insert_before(t, F.element_at(p, 1), [11, 12])
+    )
+    return _tokens_csv(tr.df)
+
+
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        FROM documents
+    ) WHERE rk = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup: keep the min-id representative per content key (the
+    Chain.Find identity-set dedup, data.go:330-343, lifted to corpus
+    scale). Keyed on raw text so both engines agree without sharing a
+    hash function; at 10^12 rows the key is xxhash64(text) and the
+    groupBy shuffles 8-byte keys instead of documents."""
+    from go_html_transform_spark.operators.dedup import exact_dedup
+
+    doc = S.load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(doc, "doc_id", F.col("text"))
+    return kept.select("doc_id")
