@@ -1,0 +1,124 @@
+"""Hypothesis property test for the as-of join: random per-entity
+timelines (duplicate timestamps included) x direction x tolerance x
+strictness, every strategy against the pandas.merge_asof oracle.
+
+The union/cogroup/bucketed strategies must agree with each other AND
+with pandas on every generated case — including the right-side
+duplicate-(key,time) resolution (row-lexicographic max) which the
+oracle reproduces by pre-deduping.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from go_html_transform_spark.operators.asof import asof_join
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=int(sec))
+
+
+entities = st.sampled_from(["a", "b", "c"])
+
+left_rows = st.lists(
+    st.tuples(entities, st.integers(0, 500)),
+    min_size=1,
+    max_size=25,
+)
+# right side: (entity, time, value) — small time domain forces duplicate
+# (entity, time) pairs so the dedupe tie-break is exercised
+right_rows = st.lists(
+    st.tuples(entities, st.integers(0, 500), st.integers(-5, 5)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lrows=left_rows,
+    rrows=right_rows,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 30.0]),
+    strict=st.booleans(),
+)
+def test_asof_matches_pandas_oracle(spark, lrows, rrows, direction, tolerance, strict):
+    if strict and direction == "nearest":
+        # strict nearest is not part of the engine surface (pandas also
+        # rejects allow_exact_matches=False semantics asymmetrically here)
+        strict = False
+
+    left = spark.createDataFrame(
+        [(e, _ts(s), i) for i, (e, s) in enumerate(lrows)],
+        "doc_id string, event_time timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(e, _ts(s), float(v)) for e, s, v in rrows],
+        "doc_id string, obs_time timestamp, label_value double",
+    ) if rrows else spark.createDataFrame(
+        [], "doc_id string, obs_time timestamp, label_value double"
+    )
+
+    # pandas oracle: dedupe right to max value per (key, time), then
+    # per-key merge_asof (sorted by time)
+    lp = pd.DataFrame(
+        {"doc_id": [e for e, _ in lrows],
+         "event_time": [_ts(s) for _, s in lrows],
+         "event_id": range(len(lrows))}
+    ).sort_values(["event_time", "event_id"], kind="mergesort")
+    rp = pd.DataFrame(
+        {"doc_id": [e for e, _, _ in rrows],
+         "obs_time": [_ts(s) for _, s, _ in rrows],
+         "label_value": [float(v) for _, _, v in rrows]}
+    )
+    if len(rp):
+        rp = (
+            rp.groupby(["doc_id", "obs_time"], as_index=False)["label_value"]
+            .max()
+            .sort_values("obs_time", kind="mergesort")
+        )
+        exp = pd.merge_asof(
+            lp,
+            rp,
+            left_on="event_time",
+            right_on="obs_time",
+            by="doc_id",
+            direction=direction,
+            tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+            allow_exact_matches=not strict,
+        )
+        expected = dict(zip(exp["event_id"], exp["label_value"]))
+    else:
+        expected = {i: float("nan") for i in range(len(lrows))}
+
+    for strategy in ("union", "cogroup", "bucketed"):
+        out = asof_join(
+            left,
+            right,
+            on="doc_id",
+            left_time="event_time",
+            right_time="obs_time",
+            direction=direction,
+            tolerance=tolerance,
+            strategy=strategy,
+            bucket_seconds=120,  # several buckets across the 500 s domain
+            allow_exact_matches=not strict,
+        )
+        got = {r.event_id: r.label_value for r in out.collect()}
+        assert set(got) == set(expected), strategy
+        for k, ev in expected.items():
+            gv = got[k]
+            if pd.isna(ev):
+                assert gv is None, (strategy, k, gv, ev)
+            else:
+                assert gv == ev, (strategy, k, gv, ev)
