@@ -17,14 +17,10 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
-@pandas_udf("double")
-def token_entropy(tokens: pd.Series) -> pd.Series:
-    """Shannon entropy (nats) of each row's token distribution — a
-    quality/diversity feature. Vectorized per Arrow batch with numpy;
-    empty sequences -> 0.0."""
-
+def _token_entropy_impl(tokens: pd.Series) -> pd.Series:
     def one(arr) -> float:
         if arr is None or len(arr) == 0:
             return 0.0
@@ -35,10 +31,16 @@ def token_entropy(tokens: pd.Series) -> pd.Series:
     return tokens.map(one)
 
 
-@pandas_udf("double")
-def repetition_ratio(tokens: pd.Series) -> pd.Series:
-    """1 - distinct/len: how repetitive a sequence is (dedup signal)."""
+def token_entropy(col) -> Column:
+    """Shannon entropy (nats) of each row's token distribution — a
+    quality/diversity feature. Vectorized per Arrow batch with numpy;
+    empty sequences -> 0.0. (UDF wrapped at call time: @pandas_udf at
+    module scope needs an active SparkSession just to parse its return
+    type, which would make this module import-order-dependent.)"""
+    return pandas_udf(_token_entropy_impl, "double")(col)
 
+
+def _repetition_ratio_impl(tokens: pd.Series) -> pd.Series:
     def one(arr) -> float:
         if arr is None or len(arr) == 0:
             return 0.0
@@ -46,6 +48,11 @@ def repetition_ratio(tokens: pd.Series) -> pd.Series:
         return float(1.0 - np.unique(a).size / a.size)
 
     return tokens.map(one)
+
+
+def repetition_ratio(col) -> Column:
+    """1 - distinct/len: how repetitive a sequence is (dedup signal)."""
+    return pandas_udf(_repetition_ratio_impl, "double")(col)
 
 
 def entropy_expr(tokens: Column | str = "tokens") -> Column:
@@ -66,3 +73,52 @@ def entropy_expr(tokens: Column | str = "tokens") -> Column:
     return F.when(n > 0, F.aggregate(contrib, F.lit(0.0), lambda a, b: a + b)).otherwise(
         F.lit(0.0)
     )
+
+
+def _minhash16_impl(tokens: pd.Series) -> pd.Series:
+    from go_html_transform_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    n_hashes = 16
+    A = np.array(
+        [(2 * i + 1) * MINHASH_A % MINHASH_P for i in range(n_hashes)],
+        dtype=np.int64,
+    )
+    B = np.array(
+        [i * MINHASH_B % MINHASH_P for i in range(n_hashes)], dtype=np.int64
+    )
+    sentinel = np.full(n_hashes, MINHASH_P, dtype=np.int64)
+
+    uniqs = [
+        np.unique(np.asarray(a, dtype=np.int64))
+        if a is not None and len(a)
+        else np.empty(0, dtype=np.int64)
+        for a in tokens
+    ]
+    lens = np.fromiter((u.size for u in uniqs), dtype=np.int64, count=len(uniqs))
+    out = [None] * len(uniqs)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size:
+        flat = np.concatenate([uniqs[i] for i in nonempty])
+        # (M, 16): one pass over all tokens of the batch for all 16 hashes
+        H = (flat[:, None] * A + B) % MINHASH_P
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        mins = np.minimum.reduceat(H, starts, axis=0)
+        for j, i in enumerate(nonempty):
+            out[i] = mins[j]
+    for i in np.flatnonzero(lens == 0):
+        out[i] = sentinel
+    return pd.Series(out)
+
+
+def minhash16_arrow(col) -> Column:
+    """Vectorized MinHash-16 twin of operators/dedup.minhash_signature
+    (identical affine hashes over the distinct token set, sentinel P for
+    empty rows). The expression form walks the array 16 times through
+    interpreted higher-order functions; this kernel does ONE flattened
+    (M x 16) numpy pass per Arrow batch — the hot-path choice for the
+    10^12-row dedup sweep."""
+    return pandas_udf(_minhash16_impl, ArrayType(LongType()))(col)

@@ -107,3 +107,32 @@ def test_pandas_udf_kernels_match_numpy_and_expr(spark):
         assert abs(out[i][0] - ent(toks)) < 1e-9, i
         assert abs(out[i][1] - ent(toks)) < 1e-9, i  # expression twin agrees
     assert out[1][2] == 0.25 and out[4][2] == 0.75 and out[3][2] == 0.0
+
+
+def test_minhash_arrow_kernel_matches_expression(spark):
+    """The vectorized Arrow MinHash kernel must equal the Column-expression
+    form element-for-element, including the empty-row sentinel."""
+    from pyspark.sql import functions as F
+
+    from go_html_transform_spark.functions.kernels import minhash16_arrow
+    from go_html_transform_spark.operators.dedup import minhash_signature
+
+    rows = [(1, [5, 5, 900, 23]), (2, []), (3, [1023]), (4, list(range(200)))]
+    df = spark.createDataFrame(rows, "id int, tokens array<int>")
+    both = df.select(
+        "id",
+        minhash_signature(F.col("tokens")).alias("expr_sig"),
+        minhash16_arrow(F.col("tokens")).alias("arrow_sig"),
+    ).collect()
+    for r in both:
+        assert list(r.expr_sig) == list(r.arrow_sig), r.id
+
+    # and on real data
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from go_html_transform_spark.functions.tokenize import tokens_expr
+
+    seq = doc.select(tokens_expr(F.col("text")).alias("tokens"))
+    cmp = seq.select(
+        (minhash_signature(F.col("tokens")) == minhash16_arrow(F.col("tokens"))).alias("eq")
+    )
+    assert cmp.filter(~F.col("eq")).count() == 0
