@@ -120,14 +120,32 @@ class CheckpointTable:
         run_id: str = "",
     ) -> int:
         """Execute a stage resumably: write only pending buckets to the
-        sink, then record their lineage. Returns rows written. Idempotent:
-        a second call after success writes nothing."""
+        sink, then record their lineage — INCLUDING zero-row lineage for
+        pending buckets that turned out empty, so later resumes don't
+        rescan them forever. Returns rows written. Idempotent: a second
+        call after success writes nothing and marks nothing new.
+
+        Driver-side assembly is safe: lineage is at most n_buckets rows."""
+        done = {r.bucket for r in self.completed_buckets(stage).collect()}
+        pending_ids = sorted(set(range(n_buckets)) - done)
+        if not pending_ids:
+            return 0
         todo = self.pending(df, stage, key, n_buckets)
         n = todo.count()
-        if n == 0:
-            return 0
-        todo.write.mode("append").parquet(sink_path)
-        self.append(
-            partition_lineage(todo, stage, key, n_buckets, snapshot_id, run_id)
-        )
+        if n > 0:
+            todo.write.mode("append").parquet(sink_path)
+            lin_rows = partition_lineage(
+                todo, stage, key, n_buckets, snapshot_id, run_id
+            ).collect()
+        else:
+            lin_rows = []
+        observed = {r.bucket for r in lin_rows}
+        now_us = int(time.time() * 1e6)
+        zero_rows = [
+            (stage, b, 0, 0, snapshot_id, run_id, now_us)
+            for b in pending_ids
+            if b not in observed
+        ]
+        rows = [tuple(r) for r in lin_rows] + zero_rows
+        self.append(self.spark.createDataFrame(rows, LINEAGE_SCHEMA))
         return n
