@@ -185,7 +185,31 @@ def lineage_partition_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_session_counts")  # Structured Streaming: rows-only
+@register(
+    "streaming_session_counts",
+    _cte(
+        """
+        , g AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN epoch_us(event_time)
+                             - LAG(epoch_us(event_time)) OVER w
+                             > 1800 * 1000000
+                          OR LAG(epoch_us(event_time)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new,
+                   event_time
+            FROM seq
+            WINDOW w AS (PARTITION BY doc_id ORDER BY event_time)
+        ), t AS (
+            SELECT doc_id, n_tok,
+                   SUM(is_new) OVER (PARTITION BY doc_id ORDER BY event_time
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT doc_id, COUNT(*) AS n_events, SUM(n_tok) AS sum_n_tok
+        FROM t GROUP BY doc_id, sid
+        """
+    ),
+)  # Structured Streaming vs a batch-SQL sessionization oracle
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session-window aggregation drained with availableNow —
     matches batch sessionize (asserted in tests)."""
@@ -289,7 +313,31 @@ def vocab_token_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_stateful_features")  # applyInPandasWithState: rows-only
+@register(
+    "streaming_stateful_features",
+    _cte(
+        """
+        , g AS (
+            SELECT doc_id, event_id, n_tok,
+                   CASE WHEN epoch_us(event_time)
+                             - LAG(epoch_us(event_time)) OVER w
+                             > 1800 * 1000000
+                          OR LAG(epoch_us(event_time)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new,
+                   event_time
+            FROM seq
+            WINDOW w AS (PARTITION BY doc_id ORDER BY event_time, event_id)
+        )
+        SELECT doc_id, event_id,
+               CAST(SUM(is_new) OVER wc - 1 AS INTEGER) AS session_id,
+               ROW_NUMBER() OVER wc AS cum_events,
+               SUM(n_tok) OVER wc AS cum_n_tok
+        FROM g
+        WINDOW wc AS (PARTITION BY doc_id ORDER BY event_time, event_id
+                      ROWS UNBOUNDED PRECEDING)
+        """
+    ),
+)  # applyInPandasWithState vs a batch-SQL running-features oracle
 def streaming_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-
     entity running session/cumulative features with GroupState carried
