@@ -479,3 +479,81 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = S.load_table(spark, sf_dir, "documents")
     kept = exact_dedup(doc, "doc_id", F.col("text"))
     return kept.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# as-of direction x tolerance matrix completion
+# ---------------------------------------------------------------------------
+
+_LABD = """labd AS (SELECT doc_id, obs_time, MAX(label_value) AS label_value
+                    FROM lab GROUP BY doc_id, obs_time)"""
+
+
+@register(
+    "asof_forward_tolerance",
+    _cte(
+        f""", {_LABD}
+        SELECT s.event_id,
+               ROUND(CASE WHEN epoch_us(l.obs_time) - epoch_us(s.event_time)
+                          <= 600 * 1000000
+                     THEN l.label_value END, 4) AS label_value
+        FROM seq s ASOF LEFT JOIN labd l
+          ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time
+        """
+    ),
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with 600s tolerance: labels too far in the future
+    are nulled."""
+    from go_html_transform_spark.operators.asof import asof_join
+
+    seq = S.sequences(spark, sf_dir).select("doc_id", "event_time", "event_id")
+    lab = S.labels(spark, sf_dir)
+    out = asof_join(
+        seq, lab, on="doc_id", left_time="event_time", right_time="obs_time",
+        direction="forward", tolerance=600,
+    )
+    return out.select("event_id", F.round("label_value", 4).alias("label_value"))
+
+
+@register(
+    "asof_nearest_tolerance",
+    _cte(
+        f""", {_LABD},
+        b AS (SELECT s.event_id, s.event_time,
+                     CASE WHEN epoch_us(s.event_time) - epoch_us(l.obs_time)
+                          <= 600 * 1000000 THEN l.obs_time END AS bt,
+                     CASE WHEN epoch_us(s.event_time) - epoch_us(l.obs_time)
+                          <= 600 * 1000000 THEN l.label_value END AS bv
+              FROM seq s ASOF LEFT JOIN labd l
+                ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time),
+        f AS (SELECT s.event_id,
+                     CASE WHEN epoch_us(l.obs_time) - epoch_us(s.event_time)
+                          <= 600 * 1000000 THEN l.obs_time END AS ft,
+                     CASE WHEN epoch_us(l.obs_time) - epoch_us(s.event_time)
+                          <= 600 * 1000000 THEN l.label_value END AS fv
+              FROM seq s ASOF LEFT JOIN labd l
+                ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time)
+        SELECT b.event_id,
+               ROUND(CASE
+                 WHEN b.bt IS NULL THEN f.fv
+                 WHEN f.ft IS NULL THEN b.bv
+                 WHEN epoch_us(b.event_time) - epoch_us(b.bt)
+                      <= epoch_us(f.ft) - epoch_us(b.event_time) THEN b.bv
+                 ELSE f.fv END, 4) AS label_value
+        FROM b JOIN f ON b.event_id = f.event_id
+        """
+    ),
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of with 600s tolerance applied per side BEFORE choosing
+    (pandas semantics, pinned by the property test)."""
+    from go_html_transform_spark.operators.asof import asof_join
+
+    seq = S.sequences(spark, sf_dir).select("doc_id", "event_time", "event_id")
+    lab = S.labels(spark, sf_dir)
+    out = asof_join(
+        seq, lab, on="doc_id", left_time="event_time", right_time="obs_time",
+        direction="nearest", tolerance=600,
+    )
+    return out.select("event_id", F.round("label_value", 4).alias("label_value"))
