@@ -92,12 +92,20 @@ def _minhash16_impl(tokens: pd.Series) -> pd.Series:
     )
     sentinel = np.full(n_hashes, MINHASH_P, dtype=np.int64)
 
-    uniqs = [
-        np.unique(np.asarray(a, dtype=np.int64))
-        if a is not None and len(a)
-        else np.empty(0, dtype=np.int64)
-        for a in tokens
-    ]
+    empty = np.empty(0, dtype=np.int64)
+
+    def _uniq(a):
+        if a is None or not len(a):
+            return empty
+        try:
+            return np.unique(np.asarray(a, dtype=np.int64))
+        except (TypeError, ValueError):
+            # NULL-bearing row: skip nulls/NaNs to match the expression twin
+            # (array_min ignores NULL elements); np.asarray raises on None.
+            vals = [t for t in a if t is not None and t == t]
+            return np.unique(np.asarray(vals, dtype=np.int64)) if vals else empty
+
+    uniqs = [_uniq(a) for a in tokens]
     lens = np.fromiter((u.size for u in uniqs), dtype=np.int64, count=len(uniqs))
     out = [None] * len(uniqs)
     nonempty = np.flatnonzero(lens)

@@ -131,9 +131,11 @@ def subword_token_count(text: Column) -> Column:
 
 
 def subword_token_count_sql(text: str = "text") -> str:
+    # outer CAST: DuckDB list_sum(int list) widens to HUGEINT, which the
+    # driver's pandas fetch turns into float64 — hash-fatal vs Spark's int
     return (
-        f"COALESCE(list_sum(list_transform({words_sql(text)},"
-        f" w -> CAST(ceil(length(w) / 4.0) AS INTEGER))), 0)"
+        f"CAST(COALESCE(list_sum(list_transform({words_sql(text)},"
+        f" w -> CAST(ceil(length(w) / 4.0) AS INTEGER))), 0) AS INTEGER)"
     )
 
 

@@ -87,11 +87,15 @@ def time_rolling_count(
     """Count of events in the trailing ``seconds`` window (rangeBetween on
     epoch seconds) — time-based rolling, still bounded at current row."""
     out_col = out_col or f"cnt_{seconds}s"
-    secs = F.col(time_col).cast("timestamp").cast("long")
+    # Exact-µs trailing window: second-truncated casts diverge from the
+    # µs-precision oracle for events landing inside the same wall-second
+    # (round-1 latent bug). unix_micros needs a tz-aware timestamp; the
+    # session tz is UTC so the NTZ->TZ cast is exact.
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
     w = (
         Window.partitionBy(partition_by)
-        .orderBy(secs)
-        .rangeBetween(-seconds, 0)
+        .orderBy(us)
+        .rangeBetween(-seconds * 1_000_000, 0)
     )
     return df.withColumn(out_col, F.count(F.lit(1)).over(w))
 
@@ -110,9 +114,11 @@ def sessionize(
     No reference precedent (the reference has no time axis); the structural
     analogue is sibling adjacency chains (data.go:292-311)."""
     w = entity_window(partition_by, time_col)
-    secs = F.col(time_col).cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # Gap computed at µs precision: a true gap in (gap_seconds, gap_seconds+1)
+    # must start a new session; second-truncated casts would miss it.
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
@@ -161,11 +167,11 @@ def add_features(
     """The standard feature bundle used by bench + entry: one shuffle on
     doc_id, one sort on event_time, every window reuses it."""
     w = entity_window()
-    secs = F.col("event_time").cast("timestamp").cast("long")
+    us = F.unix_micros(F.col("event_time").cast("timestamp"))
     wcur = w.rowsBetween(Window.unboundedPreceding, 0)
     wk = w.rowsBetween(-rolling_k, 0)
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.select(
         "*",
         F.lag("n_tok", 1).over(w).alias("n_tok_lag1"),

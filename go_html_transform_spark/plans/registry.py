@@ -72,7 +72,7 @@ def _cte(body: str) -> str:
         """
         SELECT source,
                COUNT(*) AS n_rows,
-               SUM(n_tok) AS sum_n_tok,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
                MIN(CAST(epoch_us(event_time) AS BIGINT)) AS first_us
         FROM seq GROUP BY source ORDER BY source
         """
@@ -404,7 +404,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cte(
         """
         SELECT event_id,
-               SUM(n_tok) OVER w AS n_tok_rsum3,
+               CAST(SUM(n_tok) OVER w AS BIGINT) AS n_tok_rsum3,
                ROUND(AVG(n_tok) OVER w, 4) AS n_tok_rmean3
         FROM seq
         WINDOW w AS (PARTITION BY doc_id ORDER BY event_time, event_id
@@ -431,9 +431,9 @@ def window_rolling_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cte(
         """
         SELECT event_id,
-               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY event_time, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                 AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY event_time, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                    AS BIGINT) AS session_id
         FROM (
             SELECT event_id, doc_id, event_time,
                    CASE WHEN epoch_us(event_time) - lag(epoch_us(event_time))
@@ -454,11 +454,11 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = S.sequences(spark, sf_dir)
     w = entity_window(order_by=["event_time", "event_id"])
-    secs = F.col("event_time").cast("timestamp").cast("long")
+    us = F.unix_micros(F.col("event_time").cast("timestamp"))
     from pyspark.sql import Window as _W
 
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     out = seq.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(_W.unboundedPreceding, 0)) - 1,
@@ -509,9 +509,13 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_id, CAST(cnt_3600s AS BIGINT) AS cnt_3600s
         FROM (
+            -- exact-µs trailing window (no second-bucketing): matches the
+            -- engine's unix_micros rangeBetween exactly
             SELECT event_id,
-                   COUNT(*) OVER (PARTITION BY doc_id ORDER BY CAST(epoch_us(event_time)/1000000 AS BIGINT)
-                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_3600s
+                   COUNT(*) OVER (PARTITION BY doc_id
+                                  ORDER BY CAST(epoch_us(event_time) AS BIGINT)
+                                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS cnt_3600s
             FROM seq
         )
         """
@@ -713,15 +717,16 @@ def asof_backward_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                array_to_string(tokens, ',') AS tokens_csv,
                ROUND(label_value, 4) AS label_value,
-               SUM(len(tokens)) OVER (PARTITION BY doc_id ORDER BY event_time, event_id
-                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                 AS n_tok_rsum3,
-               SUM(CASE WHEN prev_t IS NULL
-                         OR epoch_us(event_time) - prev_t > 1800 * 1000000
-                        THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY doc_id ORDER BY event_time, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                 AS session_id
+               CAST(SUM(len(tokens)) OVER (PARTITION BY doc_id
+                                           ORDER BY event_time, event_id
+                                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_tok_rsum3,
+               CAST(SUM(CASE WHEN prev_t IS NULL
+                              OR epoch_us(event_time) - prev_t > 1800 * 1000000
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY event_time, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                    AS BIGINT) AS session_id
         FROM (
             SELECT *, lag(epoch_us(event_time))
                         OVER (PARTITION BY doc_id ORDER BY event_time, event_id)
@@ -748,9 +753,9 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
     )
     w = _W.partitionBy("doc_id").orderBy("event_time", "event_id")
-    secs = F.col("event_time").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    us = F.unix_micros(F.col("event_time").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return joined.select(
         "event_id",
         F.concat_ws(",", "tokens").alias("tokens_csv"),

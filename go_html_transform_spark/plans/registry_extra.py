@@ -190,10 +190,15 @@ def lineage_partition_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cte(
         """
         , g AS (
+            -- F.session_window is half-open [t, t+gap): an event at exactly
+            -- last+gap starts a NEW session, hence >= here (the batch
+            -- sessionize operator pins strict >; boundary hits have
+            -- probability ~0 on µs-precision data but the oracle must match
+            -- the engine under test, not its batch sibling)
             SELECT doc_id, n_tok,
                    CASE WHEN epoch_us(event_time)
                              - LAG(epoch_us(event_time)) OVER w
-                             > 1800 * 1000000
+                             >= 1800 * 1000000
                           OR LAG(epoch_us(event_time)) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_new,
                    event_time
@@ -205,7 +210,7 @@ def lineage_partition_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ROWS UNBOUNDED PRECEDING) AS sid
             FROM g
         )
-        SELECT doc_id, COUNT(*) AS n_events, SUM(n_tok) AS sum_n_tok
+        SELECT doc_id, COUNT(*) AS n_events, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
         FROM t GROUP BY doc_id, sid
         """
     ),
@@ -331,7 +336,7 @@ def vocab_token_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, event_id,
                CAST(SUM(is_new) OVER wc - 1 AS INTEGER) AS session_id,
                ROW_NUMBER() OVER wc AS cum_events,
-               SUM(n_tok) OVER wc AS cum_n_tok
+               CAST(SUM(n_tok) OVER wc AS BIGINT) AS cum_n_tok
         FROM g
         WINDOW wc AS (PARTITION BY doc_id ORDER BY event_time, event_id
                       ROWS UNBOUNDED PRECEDING)

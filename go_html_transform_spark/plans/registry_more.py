@@ -197,7 +197,7 @@ def match_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_source_lang",
     _cte(
         """
-        SELECT source, lang, COUNT(*) AS n, SUM(n_tok) AS sum_n_tok
+        SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
         FROM seq GROUP BY ROLLUP (source, lang)
         """
     ),

@@ -302,8 +302,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           -- exact integer cents: DECIMAL cannot survive the driver's pandas
+           -- fetch (DuckDB .df() downcasts any DECIMAL to float64, so a
+           -- decimal-typed Spark result can never hash-match), and summing
+           -- raw doubles is order-dependent in the last ulp. The source
+           -- doubles carry exactly 2 decimals, so ROUND(x*100) is exact.
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2002-09-02'
@@ -312,15 +319,20 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shaped pricing summary (decimal sums: exact cross-engine).
-    Shows filter pushdown + partial aggregation on the star schema."""
+    """TPC-H-Q1-shaped pricing summary in exact integer cents (bit-exact
+    cross-engine; see oracle comment). Shows filter pushdown + partial
+    aggregation on the star schema."""
     li = S.load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias(
+                "sum_qty_cents"
+            ),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")

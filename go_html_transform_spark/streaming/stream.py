@@ -70,9 +70,14 @@ def streaming_session_counts(
     gap_seconds: int = 1800,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Gap-based sessionization on the stream: F.session_window implements
-    exactly the batch sessionize() semantics (new session when gap >
-    gap_seconds); the watermark bounds state for late data."""
+    """Gap-based sessionization on the stream via F.session_window; the
+    watermark bounds state for late data.
+
+    Boundary semantics: session_window is half-open [t, t+gap), so an event
+    at EXACTLY last+gap starts a new session (gap >= gap_seconds), whereas
+    batch sessionize() pins strict > (gap > gap_seconds). The two agree on
+    every gap except an exact-boundary hit — probability ~0 on µs-precision
+    timestamps. The DuckDB oracle for this query pins the >= form."""
     return (
         seq_stream.withColumn("event_time", F.col("event_time").cast("timestamp"))
         .withWatermark("event_time", watermark)

@@ -63,6 +63,55 @@ def test_sessionize_gap_pattern(spark, tiny):
     assert [r.session_id for r in b] == [0]  # partitions are independent
 
 
+def test_sessionize_subsecond_gap_matches_oracle(spark):
+    """Round-1 latent bug: gaps in (1800s, 1801s) were lost to second-
+    truncated casts. A 1800.5s gap MUST start a new session (µs semantics),
+    and a 1799.5s gap must not — verified against DuckDB epoch_us."""
+    import duckdb
+
+    t = _times(0, 1800.5, 1800.5 + 1799.5, 1800.5 + 1799.5 + 1800.000001)
+    rows = [("a", ts, 1, None) for ts in t]
+    df = _df(spark, rows)
+    out = (
+        W.sessionize(df, gap_seconds=1800)
+        .orderBy("event_time")
+        .select("session_id")
+        .collect()
+    )
+    assert [r.session_id for r in out] == [0, 1, 1, 2]
+
+    pdf = df.select("doc_id", "event_time").toPandas()
+    oracle = duckdb.sql(
+        """
+        SELECT SUM(is_new) OVER (ORDER BY event_time
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        FROM (
+            SELECT event_time,
+                   CASE WHEN epoch_us(event_time) - lag(epoch_us(event_time))
+                            OVER (ORDER BY event_time) > 1800 * 1000000
+                          OR lag(event_time) OVER (ORDER BY event_time) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM pdf
+        ) ORDER BY event_time
+        """
+    ).fetchall()
+    assert [int(r[0]) for r in oracle] == [r.session_id for r in out]
+
+
+def test_time_rolling_count_microsecond_boundary(spark):
+    """An event exactly 3600.000001s earlier is OUTSIDE the trailing hour;
+    3599.999999s is inside — exact-µs range window, no second bucketing."""
+    t = _times(0, 3599.999999, 3600.000001 + 3599.999999)
+    df = _df(spark, [("a", ts, 1, None) for ts in t])
+    out = (
+        W.time_rolling_count(df, seconds=3600)
+        .orderBy("event_time")
+        .select("cnt_3600s")
+        .collect()
+    )
+    assert [r.cnt_3600s for r in out] == [1, 2, 1]
+
+
 def test_forward_fill(spark, tiny):
     out = W.forward_fill(tiny, ["value"])
     a = out.filter("doc_id='a'").orderBy("event_time").select("value_ffill").collect()

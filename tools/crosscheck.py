@@ -2,7 +2,15 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
 sf0.01, compare row count + column names + order-insensitive values.
 
-Usage: python tools/crosscheck.py [sf_dir] [query_name ...]
+Usage: python tools/crosscheck.py [--strict] [sf_dir] [query_name ...]
+
+``--strict`` replicates the driver's dtype-sensitive value hash: both
+results are fetched THROUGH PANDAS (Spark ``toPandas()``, DuckDB
+``.df()``) and cells compared by their string form WITHOUT float
+normalization. This is the mode that catches the round-1 HUGEINT class
+(DuckDB SUM(int) -> HUGEINT -> pandas float64 -> '5.0' vs Spark int64
+'5') that the lenient %.6g normalization masks. A query must pass
+strict locally before it can be trusted to hash-match in the driver.
 """
 
 from __future__ import annotations
@@ -38,9 +46,33 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+def strict_cell(v):
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(strict_cell(x) for x in v) + "]"
+    if v is None:
+        return ""
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    try:
+        if v != v:  # pandas NaT / numpy nan in object columns
+            return "nan"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def strict_rows(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(tuple(strict_cell(v) for v in row) for row in pdf.itertuples(index=False))
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
 
@@ -59,7 +91,10 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sorted(sdf.columns)
-            s_rows = norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+            if strict:
+                s_rows = strict_rows(sdf.toPandas())
+            else:
+                s_rows = norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:400]}")
@@ -72,7 +107,10 @@ def main():
         try:
             rel = con.sql(os_[name])
             d_cols = sorted(rel.columns)
-            d_rows = norm_rows(rel.columns, rel.fetchall())
+            if strict:
+                d_rows = strict_rows(rel.df())
+            else:
+                d_rows = norm_rows(rel.columns, rel.fetchall())
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:400]}")
