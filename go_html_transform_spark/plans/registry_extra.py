@@ -27,50 +27,50 @@ def _seq_with_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "attr_modify_upsert",
+    "attr_ops",
     _cte(
         """
-        SELECT event_id,
+        SELECT 'modify_upsert' AS variant, event_id,
                CASE WHEN event_type = 'click' THEN 'clicked'
                     ELSE json_extract_string(props, '$.k') END AS k_out
         FROM seq
-        """
-    ),
-)
-def attr_modify_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ModifyAttrib (transform.go:283-299): upsert attrs['k'] on matched
-    rows (match = event_type click), read back the map value."""
-    df = _seq_with_attrs(spark, sf_dir)
-    out = df.withColumn(
-        "attrs",
-        F.when(
-            F.col("event_type") == "click",
-            X.modify_attrib("attrs", "k", "clicked"),
-        ).otherwise(F.col("attrs")),
-    )
-    return out.select("event_id", F.element_at("attrs", "k").alias("k_out"))
-
-
-@register(
-    "attr_transform_existing",
-    _cte(
-        """
-        SELECT event_id,
+        UNION ALL
+        SELECT 'transform_existing' AS variant, event_id,
                json_extract_string(props, '$.k') || '!' AS k_out
         FROM seq
         """
     ),
 )
-def attr_transform_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TransformAttrib (transform.go:301-312): map the existing 'k' value
-    through a function; key always present in this corpus so the no-op
-    branch is covered by unit tests instead."""
+def attr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both attribute-map mutation operators in one hash-checked union:
+
+    * modify_upsert — ModifyAttrib (transform.go:283-299): upsert
+      attrs['k'] on matched rows (match = event_type click)
+    * transform_existing — TransformAttrib (transform.go:301-312): map
+      the existing 'k' value through a function; key always present in
+      this corpus so the no-op branch is covered by unit tests instead
+    """
     df = _seq_with_attrs(spark, sf_dir)
-    out = df.withColumn(
+    modified = df.withColumn(
+        "attrs",
+        F.when(
+            F.col("event_type") == "click",
+            X.modify_attrib("attrs", "k", "clicked"),
+        ).otherwise(F.col("attrs")),
+    ).select(
+        F.lit("modify_upsert").alias("variant"),
+        "event_id",
+        F.element_at("attrs", "k").alias("k_out"),
+    )
+    transformed = df.withColumn(
         "attrs",
         X.transform_attrib("attrs", "k", lambda v: F.concat(v, F.lit("!"))),
+    ).select(
+        F.lit("transform_existing").alias("variant"),
+        "event_id",
+        F.element_at("attrs", "k").alias("k_out"),
     )
-    return out.select("event_id", F.element_at("attrs", "k").alias("k_out"))
+    return modified.unionByName(transformed)
 
 
 @register(

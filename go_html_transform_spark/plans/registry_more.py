@@ -27,91 +27,58 @@ def _tokens_csv(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "transform_prepend",
-    _cte(
-        """
-        SELECT event_id,
-               array_to_string(
-                 CASE WHEN list_contains(tokens, 982)
-                      THEN list_concat([7], tokens) ELSE tokens END, ',')
-               AS tokens_csv
-        FROM seq
-        """
-    ),
-)
-def transform_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PrependChildren (transform.go:169-176): insert before FirstChild on
-    rows matching rule `t982`."""
-    seq = S.sequences(spark, sf_dir)
-    tr = Transformer(seq).apply("t982", lambda t, p: X.prepend_children(t, [7]))
-    return _tokens_csv(tr.df)
-
-
-@register(
-    "transform_remove_children",
-    _cte(
-        """
-        SELECT event_id,
-               CASE WHEN source = 'src2' THEN ''
-                    ELSE array_to_string(tokens, ',') END AS tokens_csv
-        FROM seq
-        """
-    ),
-)
-def transform_remove_children(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RemoveChildren (transform.go:178-190): drop the whole child list of
-    rows matched by the class-analogue rule `.src2` (source == 'src2')."""
-    seq = S.sequences(spark, sf_dir)
-    tr = Transformer(seq).apply(".src2", lambda t, p: X.remove_children(t))
-    return _tokens_csv(tr.df)
-
-
-@register(
-    "transform_replace_children",
-    _cte(
-        """
-        SELECT event_id,
-               array_to_string(
-                 CASE WHEN list_contains(tokens, 756)
-                      THEN [5, 6, 7] ELSE tokens END, ',') AS tokens_csv
-        FROM seq
-        """
-    ),
-)
-def transform_replace_children(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ReplaceChildren (transform.go:192-201): remove all then append the
-    given nodes, on rows matching rule `t756`."""
-    seq = S.sequences(spark, sf_dir)
-    tr = Transformer(seq).apply("t756", lambda t, p: X.replace_children(t, [5, 6, 7]))
-    return _tokens_csv(tr.df)
-
-
 # ---------------------------------------------------------------------------
 # §2.4 pseudo-class predicates (data.go:136-145)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "match_pseudo_first_child",
-    _cte("SELECT event_id FROM seq WHERE tokens[1] = 982"),
+    "match_pseudo_classes",
+    _cte(
+        """
+        SELECT 'first_child' AS variant, event_id FROM seq WHERE tokens[1] = 982
+        UNION ALL
+        SELECT 'last_child' AS variant, event_id
+        FROM seq WHERE tokens[len(tokens)] = 982
+        UNION ALL
+        SELECT 'root' AS variant, event_id FROM seq WHERE tokens[1] = 756
+        UNION ALL
+        SELECT 'only_child' AS variant, event_id
+        FROM seq WHERE len(tokens) = 1 AND tokens[1] = 982
+        UNION ALL
+        SELECT 'empty' AS variant, event_id FROM seq WHERE len(tokens) = 0
+        """
+    ),
 )
-def match_pseudo_first_child(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`t982:first-child` — token 982 at position 0 (Parent.FirstChild == n,
-    data.go:138-139; :root is the same predicate in the flat model)."""
-    seq = S.sequences(spark, sf_dir)
-    return Transformer(seq).matched("t982:first-child").select("event_id")
+def match_pseudo_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pseudo-class predicate (data.go:136-145) in one hash-checked
+    union:
 
-
-@register(
-    "match_pseudo_last_child",
-    _cte("SELECT event_id FROM seq WHERE tokens[len(tokens)] = 982"),
-)
-def match_pseudo_last_child(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`t982:last-child` — token 982 at the final position
-    (Parent.LastChild == n, data.go:140-141)."""
+    * first_child — `t982:first-child`: 982 at position 0
+      (Parent.FirstChild == n, data.go:138-139)
+    * last_child — `t982:last-child`: 982 at the final position
+      (Parent.LastChild == n, data.go:140-141)
+    * root — `t756:root`: no-parent in the flat model = position 0
+      (data.go:136-137)
+    * only_child — `t982:only-child`: 982 as the single token
+      (data.go:142-143)
+    * empty — `*:empty`: zero-token sequences (data.go:144-145); this
+      corpus has none, so the variant pins the zero-match contract
+    """
     seq = S.sequences(spark, sf_dir)
-    return Transformer(seq).matched("t982:last-child").select("event_id")
+    tr = Transformer(seq)
+    parts = [
+        ("first_child", "t982:first-child"),
+        ("last_child", "t982:last-child"),
+        ("root", "t756:root"),
+        ("only_child", "t982:only-child"),
+        ("empty", "*:empty"),
+    ]
+    out = None
+    for tag, rule in parts:
+        m = tr.matched(rule).select(F.lit(tag).alias("variant"), "event_id")
+        out = m if out is None else out.unionByName(m)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -290,31 +257,65 @@ _IVF_ASSIGN_CTE = f"""
 """
 
 
+from go_html_transform_spark.operators.similarity import lsh_bucket_sql as _lsh_sql
+
+_LSH_BUCKET = _lsh_sql("embedding", 8)
+
+
 @register(
-    "sim_ivf_cluster_sizes",
+    "sim_bucket_stats",
     f"""
     WITH {_IVF_ASSIGN_CTE}
-    SELECT cid AS centroid_id, COUNT(*) AS n FROM a GROUP BY cid
+    SELECT 'ivf' AS variant, CAST(cid AS INTEGER) AS bucket, COUNT(*) AS n
+    FROM a GROUP BY cid
+    UNION ALL
+    SELECT 'lsh' AS variant, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n
+    FROM (
+        SELECT {_LSH_BUCKET} AS bucket FROM embeddings
+    ) GROUP BY bucket
     """,
 )
-def sim_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization over the whole corpus: zero-shuffle literal-
-    codebook argmax assignment (operators/similarity.py:ivf_assign), then a
-    size histogram. At production scale this pass feeds a
-    bucket(centroid_id)-partitioned layout for partition-pruned probes."""
+def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN partitioning layouts, hash-checked in one union:
+
+    * ivf — IVF coarse quantization: zero-shuffle literal-codebook argmax
+      assignment (operators/similarity.py:ivf_assign) -> cluster-size
+      histogram. At production scale this feeds a bucket(centroid_id)-
+      partitioned layout for partition-pruned probes.
+    * lsh — sign-LSH bucket histogram (8 deterministic hyperplanes -> 256
+      buckets), the bucketed ANN scale path's partitioning.
+    """
     from go_html_transform_spark.operators import similarity as SIM
 
     emb = S.load_table(spark, sf_dir, "embeddings")
     cents = SIM.ivf_centroids(emb, k=8)
-    return (
+    ivf = (
         SIM.ivf_assign(emb, cents)
         .groupBy("centroid_id")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("ivf").alias("variant"),
+            F.col("centroid_id").cast("int").alias("bucket"),
+            "n",
+        )
     )
+    lsh = (
+        emb.select(
+            SIM.lsh_bucket(F.col("embedding").cast("array<double>"), 8).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("lsh").alias("variant"),
+            F.col("bucket").cast("int").alias("bucket"),
+            "n",
+        )
+    )
+    return ivf.unionByName(lsh)
 
 
 @register(
-    "sim_ivf_topk",
+    "sim_topk_matrix",
     f"""
     WITH {_IVF_ASSIGN_CTE},
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -325,27 +326,63 @@ def sim_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY {_IVF_COS.format(a='c.cvec', b='q.qv')} DESC, c.cid
                ) AS rk
         FROM c CROSS JOIN q
-      ) WHERE rk <= 2)
-    SELECT vec_id, cos FROM (
-      SELECT e.vec_id,
-             ROUND({_IVF_COS.format(a='e.embedding', b='q.qv')}, 6) AS cos
-      FROM embeddings e
-      JOIN a ON a.vec_id = e.vec_id
-      CROSS JOIN q
-      WHERE a.cid IN (SELECT cid FROM probes)
-    ) ORDER BY cos DESC, vec_id LIMIT 10
+      ) WHERE rk <= 2),
+    ivf AS (
+      SELECT vec_id, cos FROM (
+        SELECT e.vec_id,
+               ROUND({_IVF_COS.format(a='e.embedding', b='q.qv')}, 6) AS cos
+        FROM embeddings e
+        JOIN a ON a.vec_id = e.vec_id
+        CROSS JOIN q
+        WHERE a.cid IN (SELECT cid FROM probes)
+      ) ORDER BY cos DESC, vec_id LIMIT 10),
+    brute AS (
+      SELECT vec_id, cos FROM (
+        SELECT e.vec_id,
+               ROUND({_IVF_COS.format(a='e.embedding', b='q.qv')}, 6) AS cos
+        FROM embeddings e CROSS JOIN q
+      ) ORDER BY cos DESC, vec_id LIMIT 10),
+    lb AS (
+      SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket FROM embeddings),
+    qb AS (SELECT bucket, embedding AS qv FROM lb WHERE vec_id = 0),
+    lsh AS (
+      SELECT vec_id, cos FROM (
+        SELECT e.vec_id,
+               ROUND({_IVF_COS.format(a='e.embedding', b='q.qv')}, 6) AS cos
+        FROM lb e, qb q
+        WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
+      ) ORDER BY cos DESC, vec_id LIMIT 10)
+    SELECT 'brute' AS variant, * FROM brute
+    UNION ALL SELECT 'lsh' AS variant, * FROM lsh
+    UNION ALL SELECT 'ivf' AS variant, * FROM ivf
     """,
 )
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for the vec_id=0 query: probe the 2 nearest of 8
-    clusters, exact-score candidates — filter + TakeOrderedAndProject,
-    no shuffle."""
+def sim_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN strategies' top-10 for the vec_id=0 query in one
+    hash-checked union:
+
+    * brute — exact cosine scan (single stage, TakeOrderedAndProject —
+      no global sort): the correctness baseline
+    * lsh — candidates restricted to the query's sign-LSH bucket plus
+      Hamming-1 multiprobe neighbors: the bucketed scale path
+    * ivf — probe the 2 nearest of 8 coarse clusters, exact-score the
+      candidates: the partition-pruned scale path
+    """
     from go_html_transform_spark.operators import similarity as SIM
 
     emb = S.load_table(spark, sf_dir, "embeddings")
     cents = SIM.ivf_centroids(emb, k=8)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
-    return SIM.ivf_topk(emb, list(qv), cents, k=10, nprobe=2)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    parts = [
+        ("brute", SIM.cosine_topk(emb, list(q), k=10)),
+        ("lsh", SIM.lsh_topk(emb, list(q), k=10, n_planes=8, multiprobe=True)),
+        ("ivf", SIM.ivf_topk(emb, list(q), cents, k=10, nprobe=2)),
+    ]
+    out = None
+    for tag, df in parts:
+        t = df.select(F.lit(tag).alias("variant"), "vec_id", "cos")
+        out = t if out is None else out.unionByName(t)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -390,15 +427,7 @@ def match_id_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Transformer(seq).matched("t982#d000007").select("event_id")
 
 
-@register(
-    "match_pseudo_root",
-    _cte("SELECT event_id FROM seq WHERE tokens[1] = 756"),
-)
-def match_pseudo_root(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`t756:root` — no-parent in the flat sequence model = position 0
-    (data.go:136-137)."""
-    seq = S.sequences(spark, sf_dir)
-    return Transformer(seq).matched("t756:root").select("event_id")
+# NOTE: match_pseudo_root folded into match_pseudo_classes above.
 
 
 # ---------------------------------------------------------------------------
@@ -406,56 +435,9 @@ def match_pseudo_root(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "asof_backward_strict",
-    _cte(
-        """, labd AS (SELECT doc_id, obs_time, MAX(label_value) AS label_value
-                      FROM lab GROUP BY doc_id, obs_time)
-        SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
-        FROM seq s ASOF LEFT JOIN labd l
-          ON s.doc_id = l.doc_id AND s.event_time > l.obs_time
-        """
-    ),
-)
-def asof_backward_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRICT backward as-of (allow_exact_matches=False): a feature may
-    only read labels STRICTLY before its own timestamp — the hard form of
-    the zero-leakage guarantee, oracle-checked via DuckDB's strict ASOF."""
-    from go_html_transform_spark.operators.asof import asof_join
-
-    seq = S.sequences(spark, sf_dir).select("doc_id", "event_time", "event_id")
-    lab = S.labels(spark, sf_dir)
-    out = asof_join(
-        seq, lab, on="doc_id", left_time="event_time", right_time="obs_time",
-        direction="backward", allow_exact_matches=False,
-    )
-    return out.select("event_id", F.round("label_value", 4).alias("label_value"))
-
-
-@register(
-    "transform_insert_before",
-    _cte(
-        """
-        SELECT event_id,
-               array_to_string(
-                 CASE WHEN list_contains(tokens, 982) THEN
-                   list_concat(
-                     list_concat(tokens[1:list_position(tokens, 982) - 1],
-                                 [11, 12]),
-                     tokens[list_position(tokens, 982):])
-                 ELSE tokens END, ',') AS tokens_csv
-        FROM seq
-        """
-    ),
-)
-def transform_insert_before(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """insert_before (CopyAnd's clone-placement half, transform.go:239-244):
-    insert [11,12] before the FIRST occurrence of token 982."""
-    seq = S.sequences(spark, sf_dir)
-    tr = Transformer(seq).apply(
-        "t982", lambda t, p: X.insert_before(t, F.element_at(p, 1), [11, 12])
-    )
-    return _tokens_csv(tr.df)
+# NOTE: asof_backward_strict / asof_forward_tolerance / asof_nearest_tolerance
+# moved into registry.py's asof_tolerance_matrix union query (driver checks at
+# most 50 queries; the matrix keeps every variant hash-checked in one slot).
 
 
 @register(
@@ -480,80 +462,3 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = exact_dedup(doc, "doc_id", F.col("text"))
     return kept.select("doc_id")
 
-
-# ---------------------------------------------------------------------------
-# as-of direction x tolerance matrix completion
-# ---------------------------------------------------------------------------
-
-_LABD = """labd AS (SELECT doc_id, obs_time, MAX(label_value) AS label_value
-                    FROM lab GROUP BY doc_id, obs_time)"""
-
-
-@register(
-    "asof_forward_tolerance",
-    _cte(
-        f""", {_LABD}
-        SELECT s.event_id,
-               ROUND(CASE WHEN epoch_us(l.obs_time) - epoch_us(s.event_time)
-                          <= 600 * 1000000
-                     THEN l.label_value END, 4) AS label_value
-        FROM seq s ASOF LEFT JOIN labd l
-          ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time
-        """
-    ),
-)
-def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of with 600s tolerance: labels too far in the future
-    are nulled."""
-    from go_html_transform_spark.operators.asof import asof_join
-
-    seq = S.sequences(spark, sf_dir).select("doc_id", "event_time", "event_id")
-    lab = S.labels(spark, sf_dir)
-    out = asof_join(
-        seq, lab, on="doc_id", left_time="event_time", right_time="obs_time",
-        direction="forward", tolerance=600,
-    )
-    return out.select("event_id", F.round("label_value", 4).alias("label_value"))
-
-
-@register(
-    "asof_nearest_tolerance",
-    _cte(
-        f""", {_LABD},
-        b AS (SELECT s.event_id, s.event_time,
-                     CASE WHEN epoch_us(s.event_time) - epoch_us(l.obs_time)
-                          <= 600 * 1000000 THEN l.obs_time END AS bt,
-                     CASE WHEN epoch_us(s.event_time) - epoch_us(l.obs_time)
-                          <= 600 * 1000000 THEN l.label_value END AS bv
-              FROM seq s ASOF LEFT JOIN labd l
-                ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time),
-        f AS (SELECT s.event_id,
-                     CASE WHEN epoch_us(l.obs_time) - epoch_us(s.event_time)
-                          <= 600 * 1000000 THEN l.obs_time END AS ft,
-                     CASE WHEN epoch_us(l.obs_time) - epoch_us(s.event_time)
-                          <= 600 * 1000000 THEN l.label_value END AS fv
-              FROM seq s ASOF LEFT JOIN labd l
-                ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time)
-        SELECT b.event_id,
-               ROUND(CASE
-                 WHEN b.bt IS NULL THEN f.fv
-                 WHEN f.ft IS NULL THEN b.bv
-                 WHEN epoch_us(b.event_time) - epoch_us(b.bt)
-                      <= epoch_us(f.ft) - epoch_us(b.event_time) THEN b.bv
-                 ELSE f.fv END, 4) AS label_value
-        FROM b JOIN f ON b.event_id = f.event_id
-        """
-    ),
-)
-def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest as-of with 600s tolerance applied per side BEFORE choosing
-    (pandas semantics, pinned by the property test)."""
-    from go_html_transform_spark.operators.asof import asof_join
-
-    seq = S.sequences(spark, sf_dir).select("doc_id", "event_time", "event_id")
-    lab = S.labels(spark, sf_dir)
-    out = asof_join(
-        seq, lab, on="doc_id", left_time="event_time", right_time="obs_time",
-        direction="nearest", tolerance=600,
-    )
-    return out.select("event_id", F.round("label_value", 4).alias("label_value"))

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.operators import dedup as D
-from go_html_transform_spark.operators import similarity as SIM
 from go_html_transform_spark.plans.registry import _cte, register
 from go_html_transform_spark.sources import tables as S
 
@@ -23,71 +22,40 @@ from go_html_transform_spark.sources import tables as S
 
 
 @register(
-    "text_lang_id",
-    _cte(
-        f"""
-        SELECT doc_id, {TX.lang_id_sql()} AS lang_pred
-        FROM doc
-        """
-    ),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language ID over documents.text (pure Column
-    arithmetic, no UDF)."""
-    doc = S.documents_tokenized(spark, sf_dir)
-    return doc.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
-
-
-@register(
-    "text_quality_score",
-    _cte(
-        f"""
-        SELECT doc_id, {TX.quality_score_sql()} AS quality
-        FROM doc
-        """
-    ),
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (length saturation, stopword ratio, word
-    length band, distinct ratio)."""
-    doc = S.documents_tokenized(spark, sf_dir)
-    return doc.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
-
-
-@register(
-    "text_token_counts",
+    "text_analysis_suite",
     _cte(
         f"""
         SELECT doc_id,
+               {TX.lang_id_sql()} AS lang_pred,
+               {TX.quality_score_sql()} AS quality,
                len({TX.words_sql()}) AS ws_tokens,
-               {TX.subword_token_count_sql()} AS subword_tokens
+               {TX.subword_token_count_sql()} AS subword_tokens,
+               {TX.fingerprint_sql('tokens')} AS fp
         FROM doc
         """
     ),
 )
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish (chars/4) token counting."""
+def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis layer as one hash-checked per-document row
+    (driver checks at most 50 queries; each column is an independent
+    operator, all pure Column arithmetic — no UDF):
+
+    * lang_pred — stopword-ratio language ID over documents.text
+    * quality — composite quality score (length saturation, stopword
+      ratio, word-length band, distinct ratio)
+    * ws_tokens / subword_tokens — whitespace + BPE-ish (chars/4) token
+      counting
+    * fp — order-sensitive rolling-hash document fingerprint
+    """
     doc = S.documents_tokenized(spark, sf_dir)
     return doc.select(
         "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
         TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
         TX.subword_token_count(F.col("text")).alias("subword_tokens"),
+        TX.fingerprint(F.col("tokens")).alias("fp"),
     )
-
-
-@register(
-    "text_fingerprint",
-    _cte(
-        f"""
-        SELECT doc_id, {TX.fingerprint_sql('tokens')} AS fp
-        FROM doc
-        """
-    ),
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint."""
-    doc = S.documents_tokenized(spark, sf_dir)
-    return doc.select("doc_id", TX.fingerprint(F.col("tokens")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -116,22 +84,40 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_minhash_signature",
+    "dedup_signatures",
     _cte(
         f"""
         SELECT doc_id,
                array_to_string({D.minhash_signature_sql('tokens', 16)}, ',')
-                 AS sig_csv
+                 AS minhash_csv,
+               {D.simhash16_sql('tokens')} AS simhash,
+               len({D.shingles3_sql('tokens')}) AS n_shingles,
+               len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct
         FROM doc
         """
     ),
 )
-def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-hash MinHash signature per document (array-native, no shuffle)."""
+def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document dedup signature in one hash-checked row
+    (each column an independent operator, all array-native, no shuffle):
+
+    * minhash_csv — 16-hash MinHash signature (the LSH band-join input)
+    * simhash — 16-bit SimHash (pure bit arithmetic)
+    * n_shingles / n_distinct — packed 3-gram shingle stats, the n-gram
+      Jaccard building block (pairs path exercised in tests; shingle
+      sets here are near-unique so pair queries would be vacuous at
+      these SFs)
+    """
     doc = S.documents_tokenized(spark, sf_dir)
+    sh = D.shingles3(F.col("tokens"))
     return doc.select(
         "doc_id",
-        F.concat_ws(",", D.minhash_signature(F.col("tokens"), 16)).alias("sig_csv"),
+        F.concat_ws(",", D.minhash_signature(F.col("tokens"), 16)).alias(
+            "minhash_csv"
+        ),
+        D.simhash16(F.col("tokens")).alias("simhash"),
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct"),
     )
 
 
@@ -178,119 +164,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(doc, "doc_id", threshold=0.9)
 
 
-@register(
-    "dedup_simhash",
-    _cte(
-        f"""
-        SELECT doc_id, {D.simhash16_sql('tokens')} AS simhash
-        FROM doc
-        """
-    ),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (pure bit arithmetic)."""
-    doc = S.documents_tokenized(spark, sf_dir)
-    return doc.select("doc_id", D.simhash16(F.col("tokens")).alias("simhash"))
-
-
-@register(
-    "dedup_ngram_shingles",
-    _cte(
-        f"""
-        SELECT doc_id,
-               len({D.shingles3_sql('tokens')}) AS n_shingles,
-               len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct
-        FROM doc
-        """
-    ),
-)
-def dedup_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packed 3-gram shingle stats — the n-gram Jaccard building block
-    (pairs path exercised in tests; shingle sets here are near-unique so
-    pair queries would be vacuous at these SFs)."""
-    doc = S.documents_tokenized(spark, sf_dir)
-    sh = D.shingles3(F.col("tokens"))
-    return doc.select(
-        "doc_id",
-        F.size(sh).alias("n_shingles"),
-        F.size(F.array_distinct(sh)).alias("n_distinct"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
-_COS_SQL = """
-    ROUND(
-      list_sum(list_transform(range(len(e.embedding)),
-               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
-         * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))),
-    6)
-"""
-
-
-@register(
-    "sim_cosine_topk",
-    f"""
-    SELECT vec_id, cos FROM (
-        SELECT e.vec_id, {_COS_SQL} AS cos
-        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    ) ORDER BY cos DESC, vec_id LIMIT 10
-    """,
-)
-def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-10 for the vec_id=0 query (single
-    stage, TakeOrderedAndProject — no global sort)."""
-    emb = S.load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
-    return SIM.cosine_topk(emb, list(q), k=10)
-
-
-@register(
-    "sim_lsh_bucket_histogram",
-    f"""
-    SELECT bucket, COUNT(*) AS n FROM (
-        SELECT {SIM.lsh_bucket_sql('embedding', 8)} AS bucket FROM embeddings
-    ) GROUP BY bucket
-    """,
-)
-def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucket histogram (8 deterministic hyperplanes -> 256
-    buckets) — the ANN scale path's partitioning, oracle-checked."""
-    emb = S.load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            SIM.lsh_bucket(F.col("embedding").cast("array<double>"), 8).alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "sim_lsh_topk",
-    f"""
-    WITH b AS (
-        SELECT vec_id, embedding,
-               {SIM.lsh_bucket_sql('embedding', 8)} AS bucket
-        FROM embeddings
-    ),
-    qb AS (SELECT bucket, embedding FROM b WHERE vec_id = 0)
-    SELECT vec_id, cos FROM (
-        SELECT e.vec_id, {_COS_SQL} AS cos
-        FROM b e, qb q
-        WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
-    ) ORDER BY cos DESC, vec_id LIMIT 10
-    """,
-)
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10: candidates restricted to the query's LSH bucket plus
-    Hamming-1 multiprobe neighbors."""
-    emb = S.load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
-    return SIM.lsh_topk(emb, list(q), k=10, n_planes=8, multiprobe=True)
+# NOTE: sim_cosine_topk / sim_lsh_bucket_histogram / sim_lsh_topk moved into
+# registry_more.py sim_topk_matrix / sim_bucket_stats union queries.
 
 
 # ---------------------------------------------------------------------------
