@@ -66,12 +66,24 @@ def exact_duplicates(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Keep one row (min id) per canonical key — the identity-set dedup of
-    Chain.Find (css/selector/data.go:330,336-341) lifted to corpus scale."""
-    ranked = df.withColumn("__key", key).withColumn(
-        "__rk",
-        F.row_number().over(Window.partitionBy("__key").orderBy(id_col)),
+    Chain.Find (css/selector/data.go:330,336-341) lifted to corpus scale.
+
+    The shuffle is keyed on ``xxhash64(key)`` (8 bytes), NOT the raw key:
+    at 10^12 documents a text-keyed exchange would ship every document
+    through the shuffle as its own partition key (round-1 weakness). The
+    raw key rides along as payload only, and hash COLLISIONS stay correct:
+    within a hash partition rows sort by (key, id), and a row survives iff
+    it opens a new key run — distinct colliding keys land in the same
+    partition but different runs, each keeping its own min-id row."""
+    hashed = df.withColumn("__key", key).withColumn(
+        "__kh", F.xxhash64(F.col("__key"))
     )
-    return ranked.filter(F.col("__rk") == 1).drop("__key", "__rk")
+    w = Window.partitionBy("__kh").orderBy("__key", id_col)
+    prev = F.lag("__key").over(w)
+    marked = hashed.withColumn(
+        "__first", prev.isNull() | (prev != F.col("__key"))
+    )
+    return marked.filter(F.col("__first")).drop("__key", "__kh", "__first")
 
 
 # ---------------------------------------------------------------------------

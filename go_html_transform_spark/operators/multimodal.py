@@ -52,12 +52,38 @@ def with_content_hash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("content_hash", F.xxhash64(F.col(payload_col)))
 
 
-def _fake_decode(payload: bytes, seed: int) -> np.ndarray:
-    """Deterministic stand-in for the codec: features derived from the
-    content hash, independent of payload size. REPLACE with the real
-    decoder (PIL/librosa/ffmpeg) on a cluster that ships codecs."""
-    rng = np.random.default_rng(seed & 0x7FFFFFFF)
-    return rng.random(N_FEATURES)
+def _content_digest(payload: bytes) -> int:
+    """Byte-sum content digest mod P — SQL-expressible (DuckDB:
+    list_sum(list_transform(string_split(text,''), c -> ascii(c)))), so
+    the fake features below are oracle-checkable end to end."""
+    from go_html_transform_spark.operators.dedup import MINHASH_P
+
+    if not payload:
+        return 0
+    return int(np.frombuffer(payload, dtype=np.uint8).sum()) % MINHASH_P
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for the codec: features from the affine
+    MinHash family over the byte-sum digest (integer-valued doubles —
+    bit-exact in any engine; round 1 used np.random, which no oracle
+    could reproduce). REPLACE with the real decoder (PIL/librosa/ffmpeg)
+    on a cluster that ships codecs."""
+    from go_html_transform_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    s = _content_digest(payload)
+    a = np.array(
+        [(2 * j + 1) * MINHASH_A % MINHASH_P for j in range(N_FEATURES)],
+        dtype=np.int64,
+    )
+    b = np.array(
+        [j * MINHASH_B % MINHASH_P for j in range(N_FEATURES)], dtype=np.int64
+    )
+    return ((s * a + b) % MINHASH_P).astype(np.float64)
 
 
 def decode_media(
@@ -91,10 +117,7 @@ def decode_media(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode(p, h)
-                for p, h in zip(pdf["payload"], pdf["content_hash"])
-            ]
+            feats = [_fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -7,13 +7,21 @@ Reference precedent: ``Trace`` (/root/reference/html/transform/transform.go:314-
 is the reference's only observability hook — log before/after per node.
 The engine replaces it with structural, distributed lineage:
 
-* partitions are LOGICAL and deterministic: ``bucket = pmod(xxhash64(key), n)``
+* partitions are LOGICAL and deterministic: ``bucket = pmod(hash(key), n)``
   — stable across runs/cluster sizes, unlike spark_partition_id().
 * per (stage, bucket): row count + order-insensitive checksum
-  (sum of xxhash64 over the row's canonical string) — all JVM-side,
-  no Python in the path.
-* resume: anti-join the input's buckets against completed lineage rows,
-  recompute only missing buckets, append.
+  (sum of per-row digests) — all JVM-side, no Python in the path.
+* resume: anti-join the input's buckets against completed lineage rows
+  FOR THE SAME INPUT SNAPSHOT, recompute only missing buckets, append.
+
+Two hash families:
+
+* default — ``xxhash64`` (JVM intrinsic, any column type): the production
+  path.
+* affine — ``(x * a + b) mod P`` over numeric columns (the MinHash
+  constants from operators/dedup.py): bit-identical in DuckDB, so the
+  lineage computation itself is oracle-checked (registry query
+  ``lineage_partition_rows``).
 
 The checkpoint table is parquet here; on a real cluster it is an Iceberg
 table and ``snapshot_id`` records the input's Iceberg snapshot — in the
@@ -25,21 +33,57 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from go_html_transform_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
 
 LINEAGE_SCHEMA = (
     "stage string, bucket int, n_rows bigint, checksum bigint, "
     "snapshot_id string, run_id string, completed_at_us bigint"
 )
 
+_CHECKSUM_MOD = 2**62
 
-def with_bucket(df: DataFrame, key: str = "doc_id", n_buckets: int = 64) -> DataFrame:
+
+def _affine_const(i: int) -> tuple[int, int]:
+    return (2 * i + 1) * MINHASH_A % MINHASH_P, i * MINHASH_B % MINHASH_P
+
+
+def affine_digest(cols: list[Column]) -> Column:
+    """Order-insensitive-safe per-row digest over NUMERIC columns with the
+    MinHash affine family — every term < P^2 < 2^40, sum < 3*2^40: exact
+    int64 in both Spark and DuckDB (the cross-engine twin of xxhash64)."""
+    acc = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        a, b = _affine_const(i)
+        acc = acc + ((c.cast("long") % MINHASH_P) * a + b)
+    return acc % MINHASH_P
+
+
+def affine_digest_sql(cols: list[str]) -> str:
+    terms = []
+    for i, c in enumerate(cols):
+        a, b = _affine_const(i)
+        terms.append(f"((CAST({c} AS BIGINT) % {MINHASH_P}) * {a} + {b})")
+    return f"({' + '.join(terms)}) % {MINHASH_P}"
+
+
+def with_bucket(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
     """Deterministic logical partition id — survives restarts and differing
     physical parallelism (spark_partition_id would not)."""
-    return df.withColumn(
-        "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-    )
+    expr = bucket_expr if bucket_expr is not None else F.xxhash64(F.col(key))
+    return df.withColumn("__bucket", F.pmod(expr, F.lit(n_buckets)).cast("int"))
 
 
 def partition_lineage(
@@ -49,20 +93,27 @@ def partition_lineage(
     n_buckets: int = 64,
     snapshot_id: str = "",
     run_id: str = "",
+    bucket_expr: Column | None = None,
+    digest_expr: Column | None = None,
 ) -> DataFrame:
     """Compute per-bucket lineage rows for a stage output. One JVM-side
-    aggregation: count + sum-of-hashes (order-insensitive, overflow wraps
-    are fine — it's a fingerprint)."""
-    hashed = with_bucket(df, key, n_buckets).withColumn(
-        "__h", F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    aggregation: count + sum-of-digests (order-insensitive, modular wrap
+    is fine — it's a fingerprint). ``bucket_expr``/``digest_expr`` default
+    to xxhash64; pass affine_digest(...) columns for the DuckDB-checkable
+    form."""
+    digest = (
+        digest_expr
+        if digest_expr is not None
+        else F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
     )
+    hashed = with_bucket(df, key, n_buckets, bucket_expr).withColumn("__h", digest)
     # accumulate in decimal(38,0) (no overflow under ANSI mode), then fold
     # back into a long fingerprint
     return (
         hashed.groupBy("__bucket")
         .agg(
             F.count("*").alias("n_rows"),
-            F.pmod(F.sum(F.col("__h").cast("decimal(38,0)")), F.lit(2**62))
+            F.pmod(F.sum(F.col("__h").cast("decimal(38,0)")), F.lit(_CHECKSUM_MOD))
             .cast("long")
             .alias("checksum"),
         )
@@ -79,7 +130,13 @@ def partition_lineage(
 
 
 class CheckpointTable:
-    """Append-only lineage store with partition-granular resume."""
+    """Append-only lineage store with partition-granular resume.
+
+    Completion is scoped to (stage, snapshot_id): a bucket marked complete
+    for one input snapshot — including a zero-row bucket — does NOT mask
+    the same bucket when the stage later runs over a different snapshot
+    (late-arriving data gets a new snapshot_id and reprocesses cleanly).
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -93,15 +150,28 @@ class CheckpointTable:
     def append(self, lineage: DataFrame) -> None:
         lineage.write.mode("append").parquet(self.path)
 
-    def completed_buckets(self, stage: str) -> DataFrame:
-        return self.read().filter(F.col("stage") == stage).select("bucket").distinct()
+    def completed_buckets(self, stage: str, snapshot_id: str = "") -> DataFrame:
+        return (
+            self.read()
+            .filter(
+                (F.col("stage") == stage) & (F.col("snapshot_id") == snapshot_id)
+            )
+            .select("bucket")
+            .distinct()
+        )
 
     def pending(
-        self, df: DataFrame, stage: str, key: str = "doc_id", n_buckets: int = 64
+        self,
+        df: DataFrame,
+        stage: str,
+        key: str = "doc_id",
+        n_buckets: int = 64,
+        snapshot_id: str = "",
     ) -> DataFrame:
-        """Rows of ``df`` whose bucket has NOT completed ``stage`` — the
-        resume input. Anti-join on the (tiny, broadcast) completed set."""
-        done = self.completed_buckets(stage)
+        """Rows of ``df`` whose bucket has NOT completed ``stage`` for this
+        snapshot — the resume input. Anti-join on the (tiny, broadcast)
+        completed set."""
+        done = self.completed_buckets(stage, snapshot_id)
         bucketed = with_bucket(df, key, n_buckets)
         return bucketed.join(
             F.broadcast(done),
@@ -121,24 +191,33 @@ class CheckpointTable:
     ) -> int:
         """Execute a stage resumably: write only pending buckets to the
         sink, then record their lineage — INCLUDING zero-row lineage for
-        pending buckets that turned out empty, so later resumes don't
-        rescan them forever. Returns rows written. Idempotent: a second
-        call after success writes nothing and marks nothing new.
+        pending buckets that turned out empty, so later resumes of the
+        SAME snapshot don't rescan them forever. Returns rows written.
+        Idempotent: a second call after success writes nothing new.
+
+        The stage plan executes ONCE: ``todo`` is persisted across the
+        sink write and the lineage aggregation (round 1 recomputed the
+        pipeline up to 3x — count, write, lineage — which triples stage
+        cost at 100 TB), and the row count is derived from the lineage
+        rows instead of a separate count() action.
 
         Driver-side assembly is safe: lineage is at most n_buckets rows."""
-        done = {r.bucket for r in self.completed_buckets(stage).collect()}
+        done = {
+            r.bucket for r in self.completed_buckets(stage, snapshot_id).collect()
+        }
         pending_ids = sorted(set(range(n_buckets)) - done)
         if not pending_ids:
             return 0
-        todo = self.pending(df, stage, key, n_buckets)
-        n = todo.count()
-        if n > 0:
+        todo = self.pending(df, stage, key, n_buckets, snapshot_id)
+        todo.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
             todo.write.mode("append").parquet(sink_path)
             lin_rows = partition_lineage(
                 todo, stage, key, n_buckets, snapshot_id, run_id
             ).collect()
-        else:
-            lin_rows = []
+        finally:
+            todo.unpersist()
+        n = int(sum(r.n_rows for r in lin_rows))
         observed = {r.bucket for r in lin_rows}
         now_us = int(time.time() * 1e6)
         zero_rows = [

@@ -174,15 +174,54 @@ def salted_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("lineage_partition_rows")  # xxhash64 buckets aren't DuckDB-reproducible
+def _lineage_oracle() -> str:
+    from go_html_transform_spark.plans.lineage import affine_digest_sql
+
+    key = "CAST(SUBSTR(doc_id, 2) AS BIGINT)"  # 'd000007' -> 7
+    bucket = f"({affine_digest_sql([key])}) % 32"
+    digest = affine_digest_sql(
+        ["event_id", "n_tok", "CAST(epoch_us(event_time) AS BIGINT)"]
+    )
+    return _cte(
+        f"""
+        SELECT 'registry_stage' AS stage,
+               CAST(bucket AS INTEGER) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(digest) % {2**62} AS BIGINT) AS checksum
+        FROM (
+            SELECT {bucket} AS bucket, {digest} AS digest FROM seq
+        ) GROUP BY bucket
+        """
+    )
+
+
+@register("lineage_partition_rows", _lineage_oracle())
 def lineage_partition_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition lineage rows (north rule): bucket, count, checksum."""
-    from go_html_transform_spark.plans.lineage import partition_lineage
+    """Per-partition lineage rows (north rule): bucket, count, checksum —
+    computed with the cross-engine affine hash family so the lineage
+    operator ITSELF is oracle-checked (the production default swaps in
+    xxhash64 per-column, same plan shape)."""
+    from go_html_transform_spark.plans.lineage import (
+        affine_digest,
+        partition_lineage,
+    )
 
     seq = S.sequences(spark, sf_dir)
-    return partition_lineage(seq, "registry_stage", n_buckets=32).select(
-        "stage", "bucket", "n_rows", "checksum"
+    key_num = F.substring("doc_id", 2, 16).cast("long")
+    digest = affine_digest(
+        [
+            F.col("event_id"),
+            F.col("n_tok"),
+            F.unix_micros(F.col("event_time").cast("timestamp")),
+        ]
     )
+    return partition_lineage(
+        seq,
+        "registry_stage",
+        n_buckets=32,
+        bucket_expr=affine_digest([key_num]),
+        digest_expr=digest,
+    ).select("stage", "bucket", "n_rows", "checksum")
 
 
 @register(
@@ -226,10 +265,38 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_events", "sum_n_tok")
 
 
-@register("multimodal_decode_features")  # stubbed codec: rows-only
+def _multimodal_oracle() -> str:
+    from go_html_transform_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    feats = []
+    for j in range(8):
+        a = (2 * j + 1) * MINHASH_A % MINHASH_P
+        b = j * MINHASH_B % MINHASH_P
+        feats.append(f"CAST((s * {a} + {b}) % {MINHASH_P} AS BIGINT)")
+    csv = " || ',' || ".join(f"CAST({f} AS VARCHAR)" for f in feats)
+    return f"""
+        SELECT media_id, kind, {csv} AS features_csv
+        FROM (
+            SELECT 'm' || doc_id AS media_id, 'image' AS kind,
+                   CAST(COALESCE(list_sum(list_transform(
+                            string_split(text, ''), c -> ascii(c))), 0)
+                        AS BIGINT) % {MINHASH_P} AS s
+            FROM documents
+        )
+    """
+
+
+@register("multimodal_decode_features", _multimodal_oracle())
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: documents' text bytes as opaque payloads ->
-    mapInPandas fake decode -> stable feature vectors."""
+    mapInPandas fake decode -> stable feature vectors. The fake decoder
+    derives features from an SQL-expressible byte-sum digest (affine
+    MinHash family), so this whole Arrow path is now oracle-checked —
+    the real codec swap-in is the only untested step (by necessity)."""
     from go_html_transform_spark.operators import multimodal as MM
 
     doc = S.load_table(spark, sf_dir, "documents")
@@ -247,8 +314,14 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = MM.decode_media(media, fake=True)
     return out.select(
         "media_id",
-        "content_hash",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        "kind",
+        F.concat_ws(
+            ",",
+            *[
+                F.element_at("features", j + 1).cast("bigint").cast("string")
+                for j in range(8)
+            ],
+        ).alias("features_csv"),
     )
 
 

@@ -453,9 +453,10 @@ def match_id_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact_dedup: keep the min-id representative per content key (the
     Chain.Find identity-set dedup, data.go:330-343, lifted to corpus
-    scale). Keyed on raw text so both engines agree without sharing a
-    hash function; at 10^12 rows the key is xxhash64(text) and the
-    groupBy shuffles 8-byte keys instead of documents."""
+    scale). The exchange is keyed on xxhash64(text) — 8 bytes — with the
+    text riding as payload; collisions stay correct via the per-partition
+    (key, id) sort (see operators/dedup.exact_dedup; plan-asserted in
+    tests/test_plans.py)."""
     from go_html_transform_spark.operators.dedup import exact_dedup
 
     doc = S.load_table(spark, sf_dir, "documents")

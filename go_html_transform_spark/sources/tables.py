@@ -23,10 +23,29 @@ oracle can never drift from the Spark definition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_html_transform_spark.functions.tokenize import tokens_expr, tokens_sql
+
+# Broadcast ceiling for the tokenized documents dim: beyond this the dim
+# cannot ship to every executor and sequences() switches to a salted
+# sort-merge join automatically. The tokenized arrays decompress ~8x vs
+# their parquet footprint, hence the expansion factor on the estimate.
+BROADCAST_DIM_MAX_BYTES = 512 << 20
+_PARQUET_EXPANSION = 8
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
 
 TABLES = (
     "region",
@@ -86,36 +105,67 @@ def documents_tokenized_sql(sf_dir: str) -> str:
 
 
 def sequences(
-    spark: SparkSession, sf_dir: str, repartition: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    repartition: int | None = None,
+    dim_bytes: int | None = None,
 ) -> DataFrame:
     """The canonical (doc_id, event_time, tokens, n_tok, source) fact view.
 
-    events is the 10^12-scale fact; documents the broadcast dim. The join key
-    (user_id == doc_key) never shuffles the fact side.
+    events is the 10^12-scale fact. The dim-join STRATEGY is auto-selected
+    (round-1 weakness: broadcast was unconditional, which breaks when the
+    tokenized documents dim outgrows executor memory at 10^8+ docs):
 
-    ``repartition``: fan the fact scan out to N tasks BEFORE the join so the
-    tokenize/transform compute parallelizes. At production scale the file
-    count provides this for free; the sandbox's single small parquet file
-    would otherwise serialize the whole pipeline into one task.
+    * estimated dim <= BROADCAST_DIM_MAX_BYTES — broadcast hash join,
+      zero shuffle on the fact side (the vocabulary-bounded default).
+    * larger — salted sort-merge: the fact side gets a deterministic
+      per-row salt and the dim replicates over the salt range, so one
+      hot doc_key cannot pin a single sort-merge partition.
+
+    ``dim_bytes`` overrides the on-disk estimate (parquet bytes x
+    expansion) — used by tests to force the non-broadcast branch, and by
+    callers that know the dim's true size (e.g. Iceberg table stats).
+
+    ``repartition``: fan the fact scan out to N tasks BEFORE the join so
+    the tokenize/transform compute parallelizes. At production scale the
+    file count provides this for free; the sandbox's single small parquet
+    file would otherwise serialize the whole pipeline into one task.
     """
     e = load_table(spark, sf_dir, "events")
     if repartition:
         e = e.repartition(repartition)
     d = documents_tokenized(spark, sf_dir)
-    return (
-        e.join(F.broadcast(d), e["user_id"] == d["doc_key"], "inner")
-        .select(
-            d["doc_id"],
-            e["ts"].alias("event_time"),
-            d["tokens"],
-            d["n_tok"],
-            d["source"],
-            d["lang"],
-            e["event_id"],
-            e["event_type"],
-            e["value"],
-            e["props"],
+    est = (
+        dim_bytes
+        if dim_bytes is not None
+        else _path_bytes(f"{sf_dir}/documents.parquet") * _PARQUET_EXPANSION
+    )
+    if est <= BROADCAST_DIM_MAX_BYTES:
+        joined = e.join(F.broadcast(d), e["user_id"] == d["doc_key"], "inner")
+    else:
+        from go_html_transform_spark.operators.skew import with_salt
+
+        n_salts = 16
+        e = with_salt(e, "event_id", n_salts)
+        d = d.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        ).hint("shuffle_merge")
+        joined = e.join(
+            d,
+            (e["user_id"] == d["doc_key"]) & (e["__salt"] == d["__salt"]),
+            "inner",
         )
+    return joined.select(
+        d["doc_id"],
+        e["ts"].alias("event_time"),
+        d["tokens"],
+        d["n_tok"],
+        d["source"],
+        d["lang"],
+        e["event_id"],
+        e["event_type"],
+        e["value"],
+        e["props"],
     )
 
 

@@ -38,6 +38,19 @@ def test_exact_duplicates(spark, corpus):
     assert "d1" not in {r.doc_id for r in kept.collect()}
 
 
+def test_exact_dedup_hash_collisions_stay_correct(spark, monkeypatch):
+    """exact_dedup shuffles on xxhash64(key); force EVERY key into the
+    same hash value and assert distinct keys still each keep a row (the
+    per-partition (key, id) sort separates colliding keys)."""
+    monkeypatch.setattr(F, "xxhash64", lambda *cols: F.lit(7), raising=True)
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("d", "z"), ("e", "z")],
+        "doc_id string, text string",
+    )
+    kept = D.exact_dedup(df, "doc_id", F.col("text"))
+    assert {r.doc_id for r in kept.collect()} == {"a", "c", "d"}
+
+
 def test_minhash_identical_signatures(spark, corpus):
     sigs = {
         r.doc_id: list(r.sig)

@@ -97,3 +97,40 @@ def test_transform_chain_stays_in_one_stage(spark):
     assert "Exchange hashpartitioning" not in p, p
     # both rule projections pipeline back-to-back — nothing between them
     assert "Project [" in p and "Sort" not in p and "Aggregate" not in p, p
+
+
+def test_exact_dedup_shuffles_on_hash_not_text(spark):
+    """exact_dedup's exchange must be keyed on xxhash64(key) — 8 bytes —
+    never on the raw text (at 10^12 docs a text-keyed exchange ships every
+    document through the shuffle as its partition key)."""
+    import re
+
+    from go_html_transform_spark.operators.dedup import exact_dedup
+
+    doc = S.load_table(spark, SF_DIR, "documents")
+    out = exact_dedup(doc, "doc_id", F.col("text"))
+    p = plan_of(out)
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert parts, p
+    for keys in parts:
+        assert "__kh" in keys, p
+        assert "text" not in keys, p
+    # correctness twin: collisions keep distinct keys apart (forced-collision
+    # unit lives in tests/test_dedup.py)
+
+
+def test_sequences_large_dim_takes_salted_sort_merge(spark):
+    """When the tokenized dim exceeds the broadcast ceiling, sequences()
+    must auto-switch to the salted sort-merge branch: no broadcast of the
+    big dim, salt in the join keys (one hot doc_key cannot pin a single
+    sort-merge partition), and identical results."""
+    big = S.sequences(spark, SF_DIR, dim_bytes=S.BROADCAST_DIM_MAX_BYTES + 1)
+    p = plan_of(big)
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    assert "__salt" in p, p
+    small = S.sequences(spark, SF_DIR)
+    assert big.count() == small.count()
+    a = {r.event_id for r in big.select("event_id").collect()}
+    b = {r.event_id for r in small.select("event_id").collect()}
+    assert a == b
