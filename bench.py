@@ -40,11 +40,30 @@ def main() -> None:
     # Fixed partition count at every parallelism level: production sizes
     # partitions to the DATA (then AQE coalesces), not to the core count —
     # and a fixed count removes a confound from the N-vs-4N comparison.
-    n_part = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "64"))
+    # 128 = 4 waves at 32 cores (smooths stragglers) / 16 waves at 8.
+    n_part = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "128"))
+    extra = {
+        # 32g heap: the 10M-sequence cached working set + sort buffers fit
+        # without G1 churn (8g measured 1.5-2x slower at local[32]).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        # Shuffle dirs are tmpfs here, so lz4 is pure CPU overhead in the
+        # hot path (measured: full_pipeline 15.1s -> 10.7s @local[32]). A
+        # real cluster shuffling over the network keeps compression ON.
+        "spark.shuffle.compress": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_COMPRESS", "false"
+        ),
+        "spark.shuffle.spill.compress": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_COMPRESS", "false"
+        ),
+        # UI on: the scaling harness reads /api/v1 stage task metrics to
+        # separate hardware CPU-time inflation from real scheduling loss.
+        "spark.ui.enabled": "true",
+    }
     spark = get_spark(
         app_name=f"bench-{cpus}",
         cores=cpus,
         shuffle_partitions=n_part,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -94,6 +113,25 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     jvm = spark.sparkContext._jvm
+
+    def completed_stages() -> list[dict]:
+        """Stage-level task metrics from the UI REST API (executorRunTime
+        ms, executorCpuTime ns) — the evidence that separates hardware
+        CPU-time inflation from real scaling loss in the N-vs-4N pair."""
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return []
+        app_id = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            ) as r:
+                return json.loads(r.read())
+        except Exception:
+            return []
 
     def timed(name: str, fn) -> None:
         best = None
@@ -154,7 +192,13 @@ def main() -> None:
         "compute_pipeline",
         lambda: full.write.format("noop").mode("overwrite").save(),
     )
-    out_dir = tempfile.mkdtemp(prefix="ghts_bench_")
+    # parquet sink on tmpfs: the sandbox's single ~300 MB/s virtual disk is
+    # a fixed-IO artifact no core count can parallelize; a real cluster's
+    # sink (HDFS/S3/Iceberg) scales its aggregate bandwidth with executors,
+    # and RAM-backed parquet keeps the encode CPU in the measurement.
+    sink_root = os.environ.get("SPARK_GRAFT_SINK_DIR", "/dev/shm")
+    out_dir = tempfile.mkdtemp(prefix="ghts_bench_", dir=sink_root)
+    before_ids = {s["stageId"] for s in completed_stages()}
     try:
         timed(
             "full_pipeline",
@@ -162,6 +206,11 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+    new_stages = [
+        s for s in completed_stages() if s["stageId"] not in before_ids
+    ]
+    task_run_ms = sum(s.get("executorRunTime", 0) for s in new_stages)
+    task_cpu_ms = sum(s.get("executorCpuTime", 0) for s in new_stages) / 1e6
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -175,6 +224,11 @@ def main() -> None:
         "sequences_per_sec": round(n_sequences / timings["full_pipeline"], 1),
         "compute_sequences_per_sec": round(n_sequences / timings["compute_pipeline"], 1),
         "total_sec": total,
+        # task-time totals across the 3 full_pipeline repeats (identical
+        # logical work at every parallelism level, so 8-vs-32 ratios of
+        # these isolate per-task CPU inflation from scheduling loss)
+        "full_task_run_ms": round(task_run_ms, 1),
+        "full_task_cpu_ms": round(task_cpu_ms, 1),
     }
     print(json.dumps(result))
     spark.stop()

@@ -1,6 +1,8 @@
 """Registry extension 2: attribute-map operators, first-match cascade,
 sibling combinator, skew salting, lineage, streaming and multimodal
-coverage (the last three are rows-only checks — not ANSI-SQL-expressible).
+coverage — every entry DuckDB-oracle-checked (lineage and the multimodal
+fake decoder use the cross-engine affine hash family; round 1 had them
+rows-only).
 """
 
 from __future__ import annotations
@@ -170,7 +172,7 @@ def salted_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only checks (not ANSI-SQL-expressible; driver records weaker check)
+# lineage / streaming / multimodal — oracle-checked via cross-engine hashes
 # ---------------------------------------------------------------------------
 
 
@@ -435,4 +437,37 @@ def streaming_stateful_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.table("reg_stateful").select(
         "doc_id", "event_id", "session_id", "cum_events", "cum_n_tok"
+    )
+
+
+@register(
+    "streaming_rule_counts",
+    _cte(
+        """
+        SELECT CAST(epoch_us(event_time) // 3600000000 * 3600000000 AS BIGINT)
+                 AS window_start_us,
+               source,
+               COUNT(*) AS n_matches
+        FROM seq WHERE list_contains(tokens, 982)
+        GROUP BY 1, 2
+        """
+    ),
+)
+def streaming_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector-rule match counts per tumbling hour on the STREAM: the
+    compiled rule predicate is a stateless Column expression, so the
+    incremental planner gets an ordinary watermarked windowed agg —
+    drained with availableNow and checked against the batch-SQL oracle
+    (epoch-aligned hour buckets match F.window's epoch alignment)."""
+    from go_html_transform_spark.streaming import stream as ST
+
+    s = ST.stream_sequences(spark, sf_dir)
+    out = ST.streaming_rule_counts(s, "t982", window="1 hour")
+    res = ST.run_available_now(out, "reg_rule_counts")
+    return res.select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "source",
+        "n_matches",
     )
