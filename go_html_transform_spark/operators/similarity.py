@@ -257,3 +257,125 @@ def ivf_topk(
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-refined IVF codebook (iterative k-means, exact fixed-point means)
+# ---------------------------------------------------------------------------
+
+LLOYD_SCALE = 1_000_000
+
+
+def lloyd_refine(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """One exact Lloyd iteration: assign every vector to its argmax-cosine
+    centroid (zero-shuffle literal codebook, ivf_assign), then recompute
+    each centroid as the element-wise mean of its members in FIXED-POINT
+    arithmetic — per-element BIGINT sums are exact and order-independent,
+    so the new codebook is bit-identical across partitionings AND across
+    engines (the DuckDB twin reproduces it; naive double sums would
+    diverge in the last ulp and flip near-tie assignments).
+
+    Cost at scale: ONE aggregation shuffle shipping k x dim int64 partial
+    sums (map-side combined) — independent of corpus size. Empty clusters
+    keep their previous centroid (standard Lloyd)."""
+    dim = len(centroids[0][1])
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    fx = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * LLOYD_SCALE).cast("long"),
+    )
+    rows = (
+        assigned.withColumn("__fx", fx)
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(F.element_at("__fx", i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    means = {
+        int(r["centroid_id"]): [
+            r[f"__s{i}"] / (r["__n"] * float(LLOYD_SCALE)) for i in range(dim)
+        ]
+        for r in rows
+    }
+    return sorted((cid, means.get(cid, cv)) for cid, cv in centroids)
+
+
+def ivf_lloyd_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Seed codebook + ``iters`` exact Lloyd iterations (driver-side loop;
+    the codebook is k rows, each iteration is one distributed pass)."""
+    c = ivf_centroids(emb, k=k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        c = lloyd_refine(emb, c, id_col=id_col, vec_col=vec_col)
+    return c
+
+
+def _lloyd_cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({a})), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+    )
+
+
+def lloyd_cte_sql(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """DuckDB twin of ivf_lloyd_centroids + final assignment: returns
+    (cte_body, final_assign_name). The CTE chain is
+    lc0 (seeds) -> la{i} (assign) -> lm{i} (fixed-point means) ->
+    lc{i+1} (COALESCE empty clusters to previous centroid)."""
+    parts = [
+        f"""lc0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM embeddings WHERE vec_id < {k})"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""la{i} AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {_lloyd_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                  c.cid
+                       ) AS rk
+                FROM embeddings e CROSS JOIN lc{i} c
+              ) WHERE rk = 1)"""
+        )
+        if i == iters:
+            break
+        sums = ", ".join(
+            f"SUM(CAST(ROUND(e.embedding[{j + 1}] * {LLOYD_SCALE}) AS BIGINT))"
+            for j in range(dim)
+        )
+        parts.append(
+            f"""lm{i} AS (
+              SELECT a.cid, COUNT(*) AS n, [{sums}] AS s
+              FROM la{i} a JOIN embeddings e ON a.vec_id = e.vec_id
+              GROUP BY a.cid)"""
+        )
+        parts.append(
+            f"""lc{i + 1} AS (
+              SELECT c.cid,
+                     CASE WHEN m.cid IS NULL THEN c.cvec
+                          ELSE list_transform(m.s, x -> x / (m.n * {LLOYD_SCALE}.0))
+                     END AS cvec
+              FROM lc{i} c LEFT JOIN lm{i} m ON c.cid = m.cid)"""
+        )
+    return ",\n".join(parts), f"la{iters}"

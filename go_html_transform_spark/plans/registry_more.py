@@ -257,15 +257,18 @@ _IVF_ASSIGN_CTE = f"""
 """
 
 
+from go_html_transform_spark.operators.similarity import lloyd_cte_sql as _lloyd_sql
 from go_html_transform_spark.operators.similarity import lsh_bucket_sql as _lsh_sql
 
 _LSH_BUCKET = _lsh_sql("embedding", 8)
+_LLOYD_BODY, _LLOYD_FINAL = _lloyd_sql(k=8, iters=2, dim=64)
 
 
 @register(
     "sim_bucket_stats",
     f"""
-    WITH {_IVF_ASSIGN_CTE}
+    WITH {_IVF_ASSIGN_CTE},
+    {_LLOYD_BODY}
     SELECT 'ivf' AS variant, CAST(cid AS INTEGER) AS bucket, COUNT(*) AS n
     FROM a GROUP BY cid
     UNION ALL
@@ -273,15 +276,23 @@ _LSH_BUCKET = _lsh_sql("embedding", 8)
     FROM (
         SELECT {_LSH_BUCKET} AS bucket FROM embeddings
     ) GROUP BY bucket
+    UNION ALL
+    SELECT 'ivf_lloyd2' AS variant, CAST(cid AS INTEGER) AS bucket, COUNT(*) AS n
+    FROM {_LLOYD_FINAL} GROUP BY cid
     """,
 )
 def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN partitioning layouts, hash-checked in one union:
+    """All ANN partitioning layouts, hash-checked in one union:
 
-    * ivf — IVF coarse quantization: zero-shuffle literal-codebook argmax
-      assignment (operators/similarity.py:ivf_assign) -> cluster-size
-      histogram. At production scale this feeds a bucket(centroid_id)-
-      partitioned layout for partition-pruned probes.
+    * ivf — seeded IVF coarse quantization: zero-shuffle literal-codebook
+      argmax assignment (operators/similarity.py:ivf_assign) ->
+      cluster-size histogram. At production scale this feeds a
+      bucket(centroid_id)-partitioned layout for partition-pruned probes.
+    * ivf_lloyd2 — the same layout after 2 exact Lloyd iterations
+      (iterative k-means with fixed-point element-wise means: BIGINT sums
+      are order-independent, so the refined codebook — and therefore the
+      assignment — is bit-identical in DuckDB; see
+      similarity.lloyd_refine).
     * lsh — sign-LSH bucket histogram (8 deterministic hyperplanes -> 256
       buckets), the bucketed ANN scale path's partitioning.
     """
@@ -311,7 +322,17 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return ivf.unionByName(lsh)
+    lloyd = (
+        SIM.ivf_assign(emb, SIM.ivf_lloyd_centroids(emb, k=8, iters=2))
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("ivf_lloyd2").alias("variant"),
+            F.col("centroid_id").cast("int").alias("bucket"),
+            "n",
+        )
+    )
+    return ivf.unionByName(lsh).unionByName(lloyd)
 
 
 @register(

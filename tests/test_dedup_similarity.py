@@ -196,3 +196,54 @@ def test_ivf_topk_recall_and_plan(spark):
     plan = SIM.ivf_topk(emb, qv, cents, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
+def test_ivf_lloyd_refinement(spark):
+    """Lloyd iterations must (1) be deterministic across repeated runs
+    (fixed-point means — the cross-engine invariant), (2) keep empty
+    clusters on their previous centroid, (3) not worsen the clustering
+    objective (mean cosine to assigned centroid) on real embeddings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = SIM.ivf_centroids(emb, k=4)
+    c1 = SIM.ivf_lloyd_centroids(emb, k=4, iters=1)
+    c1b = SIM.ivf_lloyd_centroids(emb, k=4, iters=1)
+    assert c1 == c1b  # bit-identical repeat
+    assert c1 != seeds  # refinement actually moved centroids
+
+    def objective(cents):
+        from go_html_transform_spark.operators.dedup import cosine
+
+        assigned = SIM.ivf_assign(emb, cents)
+        v = F.col("embedding").cast("array<double>")
+        scored = F.array(
+            *[
+                F.when(F.col("centroid_id") == cid, cosine(v, SIM._lit_vec(cv)))
+                for cid, cv in cents
+            ]
+        )
+        return (
+            assigned.select(
+                F.coalesce(*[F.element_at(scored, i + 1) for i in range(len(cents))])
+                .alias("c")
+            )
+            .agg(F.avg("c"))
+            .collect()[0][0]
+        )
+
+    assert objective(c1) >= objective(seeds) - 1e-9
+
+    # empty-cluster fallback: a far-out fake centroid keeps its coords
+    fake = seeds + [(99, [1000.0] * len(seeds[0][1]))]
+    refined = SIM.lloyd_refine(emb, fake)
+    kept = dict(refined)[99]
+    # cluster 99 attracts everything or nothing depending on geometry;
+    # if nothing was assigned the centroid must be EXACTLY preserved
+    sizes = {
+        r.centroid_id: r.n
+        for r in SIM.ivf_assign(emb, fake)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if 99 not in sizes:
+        assert kept == [1000.0] * len(seeds[0][1])

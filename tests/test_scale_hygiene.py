@@ -81,6 +81,53 @@ def test_checkpoint_resume_partition_granular(spark, tmp_path):
     assert n3 == expected > 0
 
 
+def test_checkpoint_completion_is_snapshot_scoped(spark, tmp_path):
+    """A bucket marked complete (including zero-row markers) under one
+    input snapshot must NOT mask the same bucket for a different snapshot
+    — late-arriving data gets a new snapshot_id and reprocesses cleanly."""
+    ckpt = CheckpointTable(spark, str(tmp_path / "lineage"))
+    sink = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", i) for i in range(50)], "doc_id string, v int"
+    )
+    n1 = ckpt.run_stage(df, "stage1", sink, n_buckets=8, snapshot_id="snap1")
+    assert n1 == 50
+    # same snapshot: idempotent no-op
+    assert ckpt.run_stage(df, "stage1", sink, n_buckets=8, snapshot_id="snap1") == 0
+    # NEW snapshot (late-arriving rows): all buckets pending again,
+    # including ones that were empty/zero-row under snap1
+    late = spark.createDataFrame(
+        [(f"d{i:03d}", i) for i in range(50, 60)], "doc_id string, v int"
+    )
+    n2 = ckpt.run_stage(late, "stage1", sink, n_buckets=8, snapshot_id="snap2")
+    assert n2 == 10
+    assert spark.read.parquet(sink).count() == 60
+
+
+def test_run_stage_executes_plan_once(spark, tmp_path):
+    """The stage pipeline must compute ONCE per run_stage call (round-1
+    recomputed it up to 3x: count, write, lineage agg). An accumulator
+    bumped inside the plan counts actual row evaluations."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(v):
+        acc.add(1)
+        return v
+
+    from pyspark.sql.types import IntegerType
+
+    bump_udf = F.udf(bump, IntegerType())
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", i) for i in range(100)], "doc_id string, v int"
+    ).withColumn("v", bump_udf("v"))
+    ckpt = CheckpointTable(spark, str(tmp_path / "lineage"))
+    n = ckpt.run_stage(df, "stage1", str(tmp_path / "out"), n_buckets=4)
+    assert n == 100
+    # one evaluation per row (the lineage agg reads the persisted cache);
+    # allow a small slack for a task retry but far below 2 full passes
+    assert acc.value <= 120, acc.value
+
+
 def test_pending_is_broadcast_anti_join(spark, tmp_path):
     ckpt = CheckpointTable(spark, str(tmp_path / "lineage"))
     df = spark.createDataFrame([("a", 1)], "doc_id string, v int")
