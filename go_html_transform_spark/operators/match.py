@@ -59,11 +59,18 @@ def _seq_filter(exploded: DataFrame, seq, n_by_row: DataFrame) -> DataFrame:
 
 
 def match_chain_exploded(
-    df: DataFrame, rule: str | Chain, row_id: str = "event_id"
+    df: DataFrame, rule: str | Chain, row_id: str = "event_id", ordered: bool = False
 ) -> DataFrame:
     """Match positions for a chain over the exploded view. Returns
-    (row_id, pos), deduped, document-ordered. Semantics identical to
-    plans/rules.compile_chain (asserted by tests)."""
+    (row_id, pos), deduped. Semantics identical to
+    plans/rules.compile_chain (asserted by tests).
+
+    ``ordered=False`` (default): no global sort — this is the giant-row
+    fallback path, and a full orderBy at 10^12 match rows would add a
+    range-partitioned exchange that no consumer needs (downstream joins
+    and aggs are order-insensitive; the array-native primary path gets
+    document order for free inside each row). Pass ``ordered=True`` only
+    for small, user-facing result sets."""
     chain = parse_rule(rule) if isinstance(rule, str) else rule
     ex = explode_positions(df, row_id).cache()
     n_by_row = ex.groupBy("__rid").agg(F.count("*").alias("__n"))
@@ -114,7 +121,10 @@ def match_chain_exploded(
                 )
                 .select("__rid", F.col("__q").alias("pos"))
             )
-    out = cur.distinct().orderBy("__rid", "pos").withColumnRenamed("__rid", row_id)
+    out = cur.distinct()
+    if ordered:
+        out = out.orderBy("__rid", "pos")
+    out = out.withColumnRenamed("__rid", row_id)
     ex.unpersist()
     return out
 

@@ -72,7 +72,7 @@ def main() -> None:
         snapshot_id=snap,
         run_id=run_id,
     )
-    done = ckpt.completed_buckets("features_v1").count()
+    done = ckpt.completed_buckets("features_v1", snapshot_id=snap).count()
     print(
         f"run_id={run_id} snapshot={snap} wrote_rows={n} "
         f"completed_buckets={done}/{args.n_buckets}"
