@@ -206,6 +206,58 @@ def simhash16(tokens: Column) -> Column:
     return out
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole LSH: split the 16-bit
+    signature into (max_hamming + 1) bands — any pair within Hamming
+    distance <= d must agree EXACTLY on at least one band — equi-join on
+    (band_idx, band_value), verify candidates by true bit_count(xor).
+    Returns (id_a, id_b, hamming). The band join is the only shuffle and
+    candidates are the only rows verified: never all-pairs."""
+    n_bands = max_hamming + 1
+    base_w = 16 // n_bands
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash16(F.col(tokens_col)).alias("__sh")
+    )
+    bands, off = [], 0
+    for b in range(n_bands):
+        w = base_w if b < n_bands - 1 else 16 - off
+        bands.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                (F.shiftright("__sh", off).bitwiseAND(F.lit((1 << w) - 1))).alias(
+                    "v"
+                ),
+            )
+        )
+        off += w
+    e = sh.select("__id", "__sh", F.explode(F.array(*bands)).alias("__band"))
+    a, bb = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("__sa"),
+            F.col("b.__sh").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash16_sql(tokens: str = "tokens") -> str:
     terms = []
     for j in range(16):

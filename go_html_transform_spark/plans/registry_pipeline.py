@@ -136,32 +136,81 @@ def _bands_sql(n_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+def _simhash_bands_sql(max_hamming: int = 2) -> str:
+    """Pigeonhole bands over the 16-bit simhash: (max_hamming+1) bands,
+    any Hamming<=d pair agrees exactly on >=1 band."""
+    n_bands = max_hamming + 1
+    base_w = 16 // n_bands
+    keys, off = [], 0
+    for b in range(n_bands):
+        w = base_w if b < n_bands - 1 else 16 - off
+        keys.append(
+            f"'{b}-' || CAST((sh // {2**off}) % {2**w} AS VARCHAR)"
+        )
+        off += w
+    return f"""
+        SELECT doc_id, sh, unnest([{', '.join(keys)}]) AS band
+        FROM (SELECT doc_id, {D.simhash16_sql('tokens')} AS sh FROM doc)
+    """
+
+
 @register(
-    "dedup_minhash_pairs",
+    "dedup_near_pairs",
     _cte(
         f""", bands AS ({_bands_sql()}),
-        cand AS (
+        mcand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                    a.uniq AS ua, b.uniq AS ub
             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        sbands AS ({_simhash_bands_sql(2)}),
+        scand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sh AS sa, b.sh AS sb
+            FROM sbands a JOIN sbands b
+              ON a.band = b.band AND a.doc_id < b.doc_id
         )
-        SELECT id_a, id_b,
+        SELECT 'minhash_jaccard' AS variant, id_a, id_b,
                ROUND(CAST(len(list_intersect(ua, ub)) AS DOUBLE)
                      / (len(ua) + len(ub) - len(list_intersect(ua, ub))), 6)
-                 AS jaccard
-        FROM cand
+                 AS score
+        FROM mcand
         WHERE CAST(len(list_intersect(ua, ub)) AS DOUBLE)
               / (len(ua) + len(ub) - len(list_intersect(ua, ub))) >= 0.9
+        UNION ALL
+        SELECT 'simhash_hamming' AS variant, id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS DOUBLE) AS score
+        FROM scand
+        WHERE bit_count(xor(sa, sb)) <= 2
         """
     ),
 )
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (band join) verified by true Jaccard >= 0.9.
-    Note: this corpus has a ~30-token vocabulary, so distinct-token SETS are
-    near-identical across documents — high pair counts are expected (and a
-    good skew stress)."""
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both near-duplicate PAIR paths in one hash-checked union — each a
+    bucketed LSH equi-join over candidates, never all-pairs:
+
+    * minhash_jaccard — MinHash band-join candidates verified by true
+      Jaccard >= 0.9 (score = jaccard). This corpus has a ~30-token
+      vocabulary, so distinct-token SETS are near-identical across
+      documents — high pair counts are expected (a good skew stress).
+    * simhash_hamming — pigeonhole bands over the 16-bit SimHash
+      (3 bands: any Hamming<=2 pair shares >=1 exact band), candidates
+      verified by true bit_count(xor) (score = hamming distance).
+    """
     doc = S.documents_tokenized(spark, sf_dir)
-    return D.minhash_near_duplicates(doc, "doc_id", threshold=0.9)
+    mh = D.minhash_near_duplicates(doc, "doc_id", threshold=0.9).select(
+        F.lit("minhash_jaccard").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sh = D.simhash_near_duplicates(doc, "doc_id", max_hamming=2).select(
+        F.lit("simhash_hamming").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,23 @@ def test_ivf_lloyd_refinement(spark):
     }
     if 99 not in sizes:
         assert kept == [1000.0] * len(seeds[0][1])
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    """Pigeonhole-band SimHash pairs: exact dups at hamming 0, the near
+    pair within the budget, unrelated docs absent."""
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_duplicates(corpus, "doc_id", max_hamming=4).collect()
+    }
+    assert got[("d0", "d1")] == 0
+    assert ("d0", "d2") in got and got[("d0", "d2")] <= 4
+    assert all("d3" not in p for p in got)
+    # pigeonhole completeness on this fixture: every pair returned is
+    # verified-true hamming (recompute driver-side)
+    sh = {
+        r.doc_id: r.sh
+        for r in corpus.select("doc_id", D.simhash16(F.col("tokens")).alias("sh")).collect()
+    }
+    for (a, b), h in got.items():
+        assert bin(sh[a] ^ sh[b]).count("1") == h
