@@ -10,6 +10,8 @@ oracle reproduces by pre-deduping.
 
 import datetime as dt
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -41,7 +43,9 @@ right_rows = st.lists(
 
 
 @settings(
-    max_examples=12,
+    # GHTS_DEEP_FUZZ=N widens the sweep for out-of-band soak runs; the
+    # default stays CI-sized
+    max_examples=int(os.environ.get("GHTS_DEEP_FUZZ", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
