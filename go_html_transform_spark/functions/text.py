@@ -98,6 +98,59 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def quality_score_ppm(text: Column) -> Column:
+    """The quality score in EXACT integer parts-per-million.
+
+    Every component is a small-integer ratio, so the whole composite is
+    the rational NUM / (640*n) with
+    NUM = 3*min(n,64)*n + 128*n_stop + 16*min(sum_len, 8n) + 192*n_distinct
+    (n clamped to >=1). quality_ppm = half-up(NUM*1e6 / (640n)) computed in
+    pure BIGINT arithmetic — bit-identical in any engine. The rounded-
+    double form (quality_score) diverges cross-engine at ROUND ties:
+    Spark rounds the exact decimal of the double HALF_UP while DuckDB
+    rounds the SCALED double, and at sf0.1 one document landed on
+    opposite sides (0.520313 vs 0.520312). Magnitudes: NUM <= 640n,
+    NUM*1e6 <= 6.4e8 * n — safe int64 for n < 1.4e10 words."""
+    words = _words(text)
+    n = F.size(words).cast("long")
+    n1 = F.greatest(n, F.lit(1)).cast("long")
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*sw))).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("long")
+    n_dist = F.size(F.array_distinct(words)).cast("long")
+    num = (
+        F.lit(3) * F.least(n, F.lit(64)) * n1
+        + F.lit(128) * n_stop
+        + F.lit(16) * F.least(sum_len, F.lit(8) * n1)
+        + F.lit(192) * n_dist
+    )
+    x = num * F.lit(1_000_000) + F.lit(320) * n1
+    y = F.lit(640) * n1
+    # exact integer division: (x - x%y) is a multiple of y whose quotient
+    # (<= 1e6 + small) is exactly representable, so the double divide is
+    # exact
+    return ((x - F.pmod(x, y)) / y).cast("long")
+
+
+def quality_score_ppm_sql(text: str = "text") -> str:
+    w = words_sql(text)
+    sw = ", ".join(repr(s) for s in STOPWORDS["en"])
+    n = f"CAST(len({w}) AS BIGINT)"
+    n1 = f"GREATEST({n}, 1)"
+    n_stop = f"CAST(len(list_filter({w}, x -> lower(x) IN ({sw}))) AS BIGINT)"
+    sum_len = (
+        f"CAST(COALESCE(list_sum(list_transform({w}, x -> length(x))), 0) AS BIGINT)"
+    )
+    n_dist = f"CAST(len(list_distinct({w})) AS BIGINT)"
+    num = (
+        f"(3 * LEAST({n}, 64) * {n1} + 128 * {n_stop}"
+        f" + 16 * LEAST({sum_len}, 8 * {n1}) + 192 * {n_dist})"
+    )
+    return f"(({num} * 1000000 + 320 * {n1}) // (640 * {n1}))"
+
+
 def quality_score_sql(text: str = "text") -> str:
     w = words_sql(text)
     sw = ", ".join(repr(s) for s in STOPWORDS["en"])

@@ -27,7 +27,7 @@ from go_html_transform_spark.sources import tables as S
         f"""
         SELECT doc_id,
                {TX.lang_id_sql()} AS lang_pred,
-               {TX.quality_score_sql()} AS quality,
+               {TX.quality_score_ppm_sql()} AS quality_ppm,
                len({TX.words_sql()}) AS ws_tokens,
                {TX.subword_token_count_sql()} AS subword_tokens,
                {TX.fingerprint_sql('tokens')} AS fp
@@ -41,8 +41,10 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, all pure Column arithmetic — no UDF):
 
     * lang_pred — stopword-ratio language ID over documents.text
-    * quality — composite quality score (length saturation, stopword
-      ratio, word-length band, distinct ratio)
+    * quality_ppm — composite quality score (length saturation, stopword
+      ratio, word-length band, distinct ratio) in EXACT integer
+      parts-per-million: the rounded-double form hits cross-engine ROUND
+      tie divergence (found at sf0.1; see functions/text.quality_score_ppm)
     * ws_tokens / subword_tokens — whitespace + BPE-ish (chars/4) token
       counting
     * fp — order-sensitive rolling-hash document fingerprint
@@ -51,7 +53,7 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select(
         "doc_id",
         TX.lang_id(F.col("text")).alias("lang_pred"),
-        TX.quality_score(F.col("text")).alias("quality"),
+        TX.quality_score_ppm(F.col("text")).alias("quality_ppm"),
         TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
         TX.subword_token_count(F.col("text")).alias("subword_tokens"),
         TX.fingerprint(F.col("tokens")).alias("fp"),

@@ -136,3 +136,23 @@ def test_minhash_arrow_kernel_matches_expression(spark):
         (minhash_signature(F.col("tokens")) == minhash16_arrow(F.col("tokens"))).alias("eq")
     )
     assert cmp.filter(~F.col("eq")).count() == 0
+
+
+def test_quality_score_ppm_matches_double_form(spark):
+    """The exact-integer ppm form agrees with round(quality*1e6) within
+    1 ppm on real documents (the 1-ppm slack is exactly the ROUND-tie
+    band where the double form is cross-engine nondeterministic)."""
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = doc.select(
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.quality_score_ppm(F.col("text")).alias("ppm"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.ppm - round(r.q * 1e6)) <= 1, (r.q, r.ppm)
+    # bounds + empty text
+    one = spark.createDataFrame([("",), ("the the the",)], "text string").select(
+        TX.quality_score_ppm(F.col("text")).alias("ppm")
+    ).collect()
+    assert all(0 <= r.ppm <= 1_000_000 for r in one)
+    assert one[0].ppm == 0
