@@ -158,6 +158,38 @@ def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def jaccard_ppm(tokens_a: Column, tokens_b: Column) -> Column:
+    """Jaccard as EXACT half-up integer parts-per-million: |I| and |U| are
+    small ints, so ppm = (2*|I|*1e6 + |U|) div (2*|U|) is bit-identical
+    in any engine. ROUND(double, 6) is NOT: dyadic-denominator ratios
+    (|U| = 128, 640, ...) produce exact 7-digit-terminating decimals
+    ending in 5, where Spark (exact-decimal HALF_UP) and DuckDB
+    (scaled-double round) can land on opposite sides — the same tie
+    class found in the quality score at sf0.1."""
+    ua, ub = F.array_distinct(tokens_a), F.array_distinct(tokens_b)
+    inter = F.size(F.array_intersect(ua, ub)).cast("long")
+    union = F.size(F.array_union(ua, ub)).cast("long")
+    x = inter * F.lit(2_000_000) + union
+    y = F.lit(2) * union
+    # (x - x%y)/y: the quotient is an exact integer <= 1e6, so the double
+    # division is exact
+    return F.when(union > 0, ((x - F.pmod(x, y)) / y).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def jaccard_ppm_sql(ua: str, ub: str) -> str:
+    """DuckDB twin over two DISTINCT token lists (inclusion-exclusion
+    union)."""
+    inter = f"CAST(len(list_intersect({ua}, {ub})) AS BIGINT)"
+    union = f"(CAST(len({ua}) AS BIGINT) + CAST(len({ub}) AS BIGINT) - {inter})"
+    return (
+        f"CASE WHEN {union} > 0 THEN"
+        f" (2 * {inter} * 1000000 + {union}) // (2 * {union})"
+        f" ELSE 0 END"
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -180,7 +212,12 @@ def minhash_near_duplicates(
     return (
         paired.withColumn("__j", jaccard(F.col("ta"), F.col("tb")))
         .filter(F.col("__j") >= threshold)
-        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("__j", 6).alias("jaccard"),
+            jaccard_ppm(F.col("ta"), F.col("tb")).alias("jaccard_ppm"),
+        )
     )
 
 

@@ -173,15 +173,13 @@ def _simhash_bands_sql(max_hamming: int = 2) -> str:
               ON a.band = b.band AND a.doc_id < b.doc_id
         )
         SELECT 'minhash_jaccard' AS variant, id_a, id_b,
-               ROUND(CAST(len(list_intersect(ua, ub)) AS DOUBLE)
-                     / (len(ua) + len(ub) - len(list_intersect(ua, ub))), 6)
-                 AS score
+               {D.jaccard_ppm_sql('ua', 'ub')} AS score
         FROM mcand
         WHERE CAST(len(list_intersect(ua, ub)) AS DOUBLE)
               / (len(ua) + len(ub) - len(list_intersect(ua, ub))) >= 0.9
         UNION ALL
         SELECT 'simhash_hamming' AS variant, id_a, id_b,
-               CAST(bit_count(xor(sa, sb)) AS DOUBLE) AS score
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS score
         FROM scand
         WHERE bit_count(xor(sa, sb)) <= 2
         """
@@ -192,9 +190,12 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed LSH equi-join over candidates, never all-pairs:
 
     * minhash_jaccard — MinHash band-join candidates verified by true
-      Jaccard >= 0.9 (score = jaccard). This corpus has a ~30-token
-      vocabulary, so distinct-token SETS are near-identical across
-      documents — high pair counts are expected (a good skew stress).
+      Jaccard >= 0.9 (score = exact jaccard PPM: rounded doubles hit
+      cross-engine ROUND ties on dyadic-denominator ratios, the tie
+      class found in the quality score at sf0.1). This corpus has a
+      ~30-token vocabulary, so distinct-token SETS are near-identical
+      across documents — high pair counts are expected (a good skew
+      stress).
     * simhash_hamming — pigeonhole bands over the 16-bit SimHash
       (3 bands: any Hamming<=2 pair shares >=1 exact band), candidates
       verified by true bit_count(xor) (score = hamming distance).
@@ -204,13 +205,13 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("minhash_jaccard").alias("variant"),
         "id_a",
         "id_b",
-        F.col("jaccard").alias("score"),
+        F.col("jaccard_ppm").alias("score"),
     )
     sh = D.simhash_near_duplicates(doc, "doc_id", max_hamming=2).select(
         F.lit("simhash_hamming").alias("variant"),
         "id_a",
         "id_b",
-        F.col("hamming").cast("double").alias("score"),
+        F.col("hamming").cast("long").alias("score"),
     )
     return mh.unionByName(sh)
 
