@@ -386,3 +386,73 @@ def embedding_near_duplicates(
         .filter(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.round("__c", 6).alias("cos"))
     )
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    tables: int = 2,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing >=1 sign-LSH bucket across
+    ``tables`` independent hash tables — table t hashes with the disjoint
+    plane family [t*n_planes, (t+1)*n_planes). One explode + one equi-join
+    on the band key, never all-pairs: candidates ~ n^2 / 2^n_planes per
+    table instead of n^2/2. At production scale size n_planes ~ log2(n) so
+    per-bucket occupancy stays bounded (e.g. 20 planes -> 1M buckets for
+    10^9 vectors); recall at a given cosine is (1-theta/pi)^n_planes per
+    table, recovered by adding tables."""
+    from go_html_transform_spark.operators.similarity import lsh_bucket
+
+    v = F.col(vec_col).cast("array<double>")
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(t)),
+                lsh_bucket(v, n_planes, plane_offset=t * n_planes).cast("string"),
+            )
+            for t in range(tables)
+        ]
+    )
+    banded = emb.select(F.col(id_col).alias("id"), F.explode(keys).alias("band"))
+    other = banded.select(F.col("id").alias("id_b"), F.col("band"))
+    return (
+        banded.join(other, "band")
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+
+
+def embedding_lsh_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    tables: int = 2,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the scale path twin of
+    ``embedding_near_duplicates``: same verify predicate (true cosine >=
+    threshold) but only over same-bucket candidates, so the O(n^2)
+    cross-join never materializes. Approximate by design: a qualifying
+    pair that collides in no table is missed (tests measure recall vs the
+    brute-force baseline; the DuckDB oracle replicates the exact same
+    candidate set, so the cross-engine check is exact)."""
+    cands = embedding_lsh_candidates(emb, id_col, vec_col, n_planes, tables)
+    vecs = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    paired = cands.join(
+        vecs.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "va"), "id_a"
+    ).join(
+        vecs.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "vb"), "id_b"
+    )
+    # filter on the RAW cosine (rounding is output-only, matching the oracle)
+    return (
+        paired.withColumn("__c", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("cos"))
+    )

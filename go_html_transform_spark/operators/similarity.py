@@ -37,31 +37,42 @@ def plane_weight_sql(p: int, d: str) -> str:
     return f"((({p} * 31 + {d}) * {_W_MUL}) % {_W_MOD}) / 1000.0 - 0.5"
 
 
-def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """Sign-LSH bucket id in [0, 2^n_planes): bit p = 1 iff <w_p, v> > 0."""
+def lsh_bucket(
+    vec: Column, n_planes: int = N_PLANES, plane_offset: int = 0
+) -> Column:
+    """Sign-LSH bucket id in [0, 2^n_planes): bit j = 1 iff
+    <w_{offset+j}, v> > 0. ``plane_offset`` selects a disjoint plane
+    family so independent hash TABLES (multi-table LSH for pair dedup)
+    share one weight lattice."""
     def weigher(p: int):
         # closure factory — PySpark miscounts `_p=p` defaults in lambda arity
         return lambda v, d: v * plane_weight(p, d)
 
     out = F.lit(0)
-    for p in range(n_planes):
+    for j in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), weigher(p)),
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                weigher(plane_offset + j),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        out = out + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        out = out + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
     return out
 
 
-def lsh_bucket_sql(vec: str = "embedding", n_planes: int = N_PLANES) -> str:
+def lsh_bucket_sql(
+    vec: str = "embedding", n_planes: int = N_PLANES, plane_offset: int = 0
+) -> str:
     terms = []
-    for p in range(n_planes):
+    for j in range(n_planes):
         proj = (
             f"list_sum(list_transform(range(len({vec})), "
-            f"d -> {vec}[d+1] * ({plane_weight_sql(p, 'd')})))"
+            f"d -> {vec}[d+1] * ({plane_weight_sql(plane_offset + j, 'd')})))"
         )
-        terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -203,31 +203,74 @@ def topk_longest_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_EMB_COS = """
+    list_sum(list_transform(range(len({a})),
+             i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))
+"""
+
+
+def _emb_lsh_bands_sql(n_planes: int = 6, tables: int = 2) -> str:
+    from go_html_transform_spark.operators.similarity import lsh_bucket_sql
+
+    keys = ", ".join(
+        f"'{t}-' || CAST({lsh_bucket_sql('CAST(embedding AS DOUBLE[])', n_planes, t * n_planes)} AS VARCHAR)"
+        for t in range(tables)
+    )
+    return f"SELECT vec_id, unnest([{keys}]) AS band FROM embeddings"
+
+
 @register(
     "dedup_embedding_pairs",
-    """
-    SELECT id_a, id_b, ROUND(c, 6) AS cos FROM (
+    f"""
+    WITH ebands AS ({_emb_lsh_bands_sql(6, 2)}),
+    ecand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ebands a JOIN ebands b
+          ON a.band = b.band AND a.vec_id < b.vec_id
+    )
+    SELECT 'brute' AS variant, id_a, id_b, ROUND(c, 6) AS cos FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_sum(list_transform(range(len(a.embedding)),
-                        i -> CAST(a.embedding[i+1] AS DOUBLE)
-                             * CAST(b.embedding[i+1] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(a.embedding,
-                                x -> CAST(x AS DOUBLE) * x)))
-                  * sqrt(list_sum(list_transform(b.embedding,
-                                  x -> CAST(x AS DOUBLE) * x)))) AS c
+               {_EMB_COS.format(a='a.embedding', b='b.embedding')} AS c
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
+    ) WHERE c >= 0.4
+    UNION ALL
+    SELECT 'lsh_bucketed' AS variant, id_a, id_b, ROUND(c, 6) AS cos FROM (
+        SELECT ecand.id_a, ecand.id_b,
+               {_EMB_COS.format(a='ea.embedding', b='eb.embedding')} AS c
+        FROM ecand
+        JOIN embeddings ea ON ea.vec_id = ecand.id_a
+        JOIN embeddings eb ON eb.vec_id = ecand.id_b
     ) WHERE c >= 0.4
     """,
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, brute-force O(n^2) baseline
-    (the LSH-bucketed path is sim_lsh_*). Threshold on the RAW similarity;
-    output rounded to 6 decimals for the cross-engine hash."""
+    """Embedding-cosine near-duplicate pairs, BOTH paths hash-checked in
+    one union:
+
+    * brute — O(n^2) cross-join baseline (correctness reference only;
+      never point it at a large corpus).
+    * lsh_bucketed — the scale path: 2 independent sign-LSH tables x 6
+      hyperplanes bucket the corpus, candidates are same-bucket pairs
+      (one explode + one equi-join, ~5% of all-pairs on this corpus),
+      verified by true cosine >= threshold. A subset of `brute` by
+      construction — recall is the LSH trade; the oracle replicates the
+      exact candidate set so the check is exact, not recall-fuzzy.
+
+    Threshold on the RAW similarity; output rounded to 6 decimals for the
+    cross-engine hash."""
     emb = S.load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )  # float math widened BEFORE multiply, matching the oracle's CASTs
-    return D.embedding_near_duplicates(emb, threshold=0.4)
+    brute = D.embedding_near_duplicates(emb, threshold=0.4).select(
+        F.lit("brute").alias("variant"), "id_a", "id_b", "cos"
+    )
+    lsh = D.embedding_lsh_near_duplicates(
+        emb, threshold=0.4, n_planes=6, tables=2
+    ).select(F.lit("lsh_bucketed").alias("variant"), "id_a", "id_b", "cos")
+    return brute.unionByName(lsh)
 
 
 # ---------------------------------------------------------------------------

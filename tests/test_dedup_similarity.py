@@ -149,6 +149,35 @@ def test_embedding_near_duplicates(spark, vectors):
     assert all(c >= 0.95 for c in pairs.values())
 
 
+def test_embedding_lsh_near_duplicates_subset_and_recall(spark, vectors):
+    """The LSH-bucketed pair path returns a SUBSET of the brute-force
+    pairs (identical scores on the pairs it keeps), finds the
+    highest-similarity pair (cos(0,1) ~ 0.999 collides in every table
+    w.h.p.), and its candidate set is strictly smaller than all-pairs."""
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_near_duplicates(
+            vectors, id_col="vec_id", threshold=0.9
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_lsh_near_duplicates(
+            vectors, id_col="vec_id", threshold=0.9, n_planes=6, tables=2
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert (0, 1) in lsh  # near-identical pair always collides
+    for k, v in lsh.items():
+        assert v == brute[k]  # same verify predicate, same rounded score
+
+    n = vectors.count()
+    n_cand = D.embedding_lsh_candidates(
+        vectors, id_col="vec_id", n_planes=6, tables=2
+    ).count()
+    assert n_cand < n * (n - 1) / 2  # never all-pairs
+
+
 def test_lsh_topk_batch_matches_single(spark, vectors):
     """Batched ANN == per-query ANN for every query in the batch."""
     queries = vectors.filter("vec_id < 3").select(
