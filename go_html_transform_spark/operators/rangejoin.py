@@ -1,0 +1,79 @@
+"""Bucketized range (interval) join — the set-based twin of the as-of
+join (operators/asof.py): probe rows join every build interval they fall
+inside, not just the nearest one.
+
+Reference parity: go-html-transform has no temporal join at all — this is
+an engine-added operator of the point-in-time feature layer (SURVEY §2.5),
+pairing each probe event with all open windows of its entity, e.g. "every
+purchase inside one hour of a click".
+
+Scale story: Spark's own planner turns `a.key = b.key AND a.t BETWEEN b.s
+AND b.e` into a sort-merge join on `key` alone — every probe row meets
+every interval of its key (quadratic for hot keys), or worse a broadcast
+nested-loop when no equi-key exists. The bucketized form makes the time
+predicate part of the SHUFFLE KEY:
+
+* each build interval [s, e) is exploded into the fixed-width time
+  buckets it covers — a bounded fan-out of ceil(L/width)+1 rows per
+  interval (choose width ~ the typical interval length so this is <= 2);
+* each probe row hashes to exactly ONE bucket (floor(t/width));
+* the join is a plain equi-join on (key, bucket) followed by the residual
+  `s <= t < e` filter.
+
+Each qualifying (probe, interval) pair is emitted exactly once — the
+probe only visits its own bucket, and an interval appears at most once
+per bucket — so no post-join dedup is needed. Per-partition work is
+bounded by bucket occupancy, not per-key row counts; AQE's skew-join
+split handles residual hot (key, bucket) cells. This is the same plan
+shape Databricks' RANGE_JOIN bin hint produces, built here from
+first-class relational ops so it runs on stock Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def _bucket(us: Column, width_us: int) -> Column:
+    # floor division on BIGINT microseconds — exact, no float in the key
+    return (us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)
+
+
+def interval_buckets(start_us: Column, end_us: Column, width_us: int) -> Column:
+    """array<bigint> of every bucket index the half-open interval
+    [start_us, end_us) covers. Empty intervals (end <= start) cover none."""
+    first = _bucket(start_us, width_us).cast("long")
+    last = _bucket(end_us - 1, width_us).cast("long")
+    return F.when(end_us > start_us, F.sequence(first, last)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def range_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_time_us: str,
+    start_us: str,
+    end_us: str,
+    width_us: int,
+) -> DataFrame:
+    """Inner-join probe rows into build intervals of the same `on` key:
+    keeps pairs with start_us <= probe_time_us < end_us (half-open, µs
+    precision end-to-end). All non-key columns of both inputs pass
+    through; `width_us` is the bucketization width (pick ~ the typical
+    interval length; fan-out per interval is ceil(L/width)+1)."""
+    b = build.withColumn(
+        "__bk", F.explode(interval_buckets(F.col(start_us), F.col(end_us), width_us))
+    )
+    p = probe.withColumn(
+        "__bk", _bucket(F.col(probe_time_us), width_us).cast("long")
+    )
+    joined = p.join(b, [on, "__bk"]).filter(
+        (F.col(start_us) <= F.col(probe_time_us))
+        & (F.col(probe_time_us) < F.col(end_us))
+    )
+    return joined.drop("__bk")

@@ -268,3 +268,58 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-added: bucketized range (interval) join — §2.5 temporal-join family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_click_windows",
+    """
+    SELECT s.user_id,
+           CAST(epoch_us(s.ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS delta_us
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND s.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(s.ts)
+     AND epoch_us(p.ts) < epoch_us(s.ts) + 3600000000
+    """,
+)
+def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase inside the one-hour window opened by a click of the
+    same user — the bucketized range join (operators/rangejoin.py). The
+    oracle is the naive inequality join; the engine plan is an equi-join
+    on (user_id, hour_bucket) with bounded ceil(L/w)+1 = 2 fan-out per
+    interval, so the time predicate rides the shuffle key instead of a
+    per-key nested loop (the plan Spark itself would pick for this SQL).
+    All times cross the engines as exact µs BIGINTs."""
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    ev = S.load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("click_us"))
+        .withColumn("end_us", F.col("click_us") + F.lit(3600 * RJ.MICROS))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("purchase_us")
+    )
+    return RJ.range_join(
+        purchases,
+        clicks,
+        on="user_id",
+        probe_time_us="purchase_us",
+        start_us="click_us",
+        end_us="end_us",
+        width_us=3600 * RJ.MICROS,
+    ).select(
+        "user_id",
+        "click_us",
+        "purchase_us",
+        (F.col("purchase_us") - F.col("click_us")).alias("delta_us"),
+    )

@@ -210,3 +210,71 @@ def test_asof_invalid_args(spark):
         asof_join(l, r, direction="sideways")
     with pytest.raises(ValueError):
         asof_join(l, r, strategy="quantum")
+
+
+# ---------------------------------------------------------------------------
+# bucketized range (interval) join — operators/rangejoin.py
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Property: the bucketized plan emits exactly the pairs of the naive
+    inequality join, each exactly once — across bucket-boundary,
+    multi-bucket-interval, overlapping-interval, exact-start (kept) and
+    exact-end (dropped, half-open) cases."""
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    W = 100  # bucket width in fake-µs
+    build = spark.createDataFrame(
+        [
+            (1, 50, 150),    # spans buckets 0-1
+            (1, 140, 160),   # overlaps the first interval
+            (1, 300, 301),   # width-1 interval
+            (1, 400, 400),   # empty (end == start) -> no buckets, no matches
+            (2, 0, 1000),    # covers 10 buckets
+        ],
+        "k int, s_us long, e_us long",
+    )
+    probe = spark.createDataFrame(
+        [(1, 50), (1, 145), (1, 150), (1, 300), (1, 301), (1, 400), (2, 999), (2, 1000), (3, 100)],
+        "k int, t_us long",
+    )
+    got = sorted(
+        (r.k, r.t_us, r.s_us, r.e_us)
+        for r in RJ.range_join(
+            probe, build, on="k", probe_time_us="t_us",
+            start_us="s_us", end_us="e_us", width_us=W,
+        ).collect()
+    )
+    naive = sorted(
+        (r.k, r.t_us, r.s_us, r.e_us)
+        for r in probe.join(build, "k")
+        .filter("s_us <= t_us AND t_us < e_us")
+        .collect()
+    )
+    assert got == naive
+    # pin the cases the bucketization must not distort
+    assert (1, 50, 50, 150) in got      # exact start kept
+    assert (1, 150, 50, 150) not in got  # exact end dropped (half-open)
+    assert (1, 145, 50, 150) in got and (1, 145, 140, 160) in got  # overlap: both
+    assert not any(k == 3 for k, *_ in got)  # key with no intervals
+    assert len(got) == len(set(got))  # exactly-once, no bucket duplicates
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The physical plan must be a hash/sort-merge EQUI-join on
+    (key, bucket) — never BroadcastNestedLoopJoin/CartesianProduct."""
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    build = spark.range(100).selectExpr(
+        "CAST(id % 7 AS INT) k", "id * 1000 AS s_us", "id * 1000 + 5000 AS e_us"
+    )
+    probe = spark.range(500).selectExpr(
+        "CAST(id % 7 AS INT) k", "id * 200 AS t_us"
+    )
+    df = RJ.range_join(
+        probe, build, on="k", probe_time_us="t_us",
+        start_us="s_us", end_us="e_us", width_us=5000,
+    )
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in physical and "Cartesian" not in physical
