@@ -218,13 +218,42 @@ def streaming_stateful_features(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def streaming_dedup(
+    seq_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id", "event_id"),
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the unbounded twin of
+    operators/dedup.exact_dedup: ``dropDuplicatesWithinWatermark`` keeps
+    the FIRST arrival of each key and suppresses re-deliveries that land
+    within the watermark horizon of it. State per key is dropped once the
+    event-time watermark passes it, so state size is bounded by
+    (arrival rate x horizon) instead of the full key history — the only
+    dedup contract that survives an unbounded 100 TB/day stream. Exactly-
+    once keys across the WHOLE stream additionally need an idempotent
+    sink key (sinks.write_sequences' Iceberg MERGE path); this operator
+    guarantees it inside the horizon."""
+    s = seq_stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return s.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; returns the
-    materialized result (test/driver helper)."""
+    materialized result (test/driver helper). ``output_mode`` overrides
+    the default (complete for aggregations, append otherwise — stateful
+    non-agg operators like dropDuplicatesWithinWatermark require
+    append)."""
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

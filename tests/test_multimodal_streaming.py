@@ -167,3 +167,40 @@ def test_stateful_features_cross_batch_parity(spark, tmp_path):
     assert len(g) == len(e) > 0
     mismatches = {k: (g[k], e[k]) for k in e if k not in g or not same(g[k], e[k])}
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses re-delivered keys across
+    micro-batches: the same slice written twice (at-least-once delivery)
+    must come out exactly once per (doc_id, event_id), matching the batch
+    exact-dedup row set."""
+    from go_html_transform_spark.sources.tables import sequences
+
+    base = (
+        sequences(spark, SF_DIR)
+        .select("doc_id", "event_id", "event_time", "n_tok")
+        .withColumn("event_time", F.col("event_time").cast("timestamp"))
+        .limit(200)
+    )
+    src = str(tmp_path / "dup_slices")
+    # two identical files -> two micro-batches, every key delivered twice
+    base.coalesce(1).write.mode("append").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_dedup(
+        stream, key_cols=("doc_id", "event_id"), time_col="event_time",
+        watermark="10 days",  # horizon >> data span: every re-delivery suppressed
+    )
+    got = ST.run_available_now(out, "stream_dedup", output_mode="append")
+    got_keys = sorted((r.doc_id, r.event_id) for r in got.collect())
+    want_keys = sorted(
+        (r.doc_id, r.event_id)
+        for r in base.dropDuplicates(["doc_id", "event_id"]).collect()
+    )
+    assert got_keys == want_keys
+    assert len(got_keys) == len(set(got_keys))  # exactly once
