@@ -38,7 +38,10 @@ MICROS = 1_000_000
 
 
 def _bucket(us: Column, width_us: int) -> Column:
-    # floor division on BIGINT microseconds — exact, no float in the key
+    # floor division on BIGINT microseconds. The quotient crosses a double
+    # (Spark `/` on longs), but (us - us mod w) is an exact multiple of w
+    # and doubles represent integers exactly below 2^53 — i.e. any µs
+    # timestamp before year ~2255 — so the bucket id is exact.
     return (us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)
 
 

@@ -22,6 +22,33 @@ def formatted(df) -> str:
     )
 
 
+def _range_join_demo(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_html_transform_spark.operators import rangejoin as RJ
+    from go_html_transform_spark.sources import tables as S
+
+    ev = S.load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("click_us"))
+        .withColumn("end_us", F.col("click_us") + F.lit(3600 * RJ.MICROS))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("purchase_us")
+    )
+    return RJ.range_join(
+        purchases,
+        clicks,
+        on="user_id",
+        probe_time_us="purchase_us",
+        start_us="click_us",
+        end_us="end_us",
+        width_us=3600 * RJ.MICROS,
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -112,6 +139,14 @@ def main() -> None:
             D.minhash_near_duplicates(
                 S.documents_tokenized(spark, sf_dir), "doc_id", threshold=0.9
             ),
+        ),
+        (
+            "bucketized range join (purchases into 1h click windows)",
+            "MUST: SortMergeJoin/ShuffledHashJoin keyed on (user_id, __bk) "
+            "— the time predicate rides the SHUFFLE KEY; no "
+            "BroadcastNestedLoopJoin/CartesianProduct anywhere; interval "
+            "fan-out bounded at ceil(L/w)+1 = 2 rows per interval.",
+            _range_join_demo(spark, sf_dir),
         ),
     ]
 
