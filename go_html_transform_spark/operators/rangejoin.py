@@ -80,3 +80,40 @@ def range_join(
         & (F.col(probe_time_us) < F.col(end_us))
     )
     return joined.drop("__bk")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    width_us: int,
+) -> DataFrame:
+    """Join interval pairs of the same `on` key whose half-open spans
+    overlap (ls < re AND rs < le). Both sides explode into their covered
+    buckets and equi-join on (key, bucket); an overlapping pair meets in
+    every bucket both cover, so to emit EXACTLY ONCE without a distinct
+    (which would shuffle the full payload again) the residual keeps only
+    the bucket containing the overlap's start, max(ls, rs) — a pure
+    per-row predicate, no second exchange."""
+    l = left.withColumn(
+        "__bkl", F.explode(interval_buckets(F.col(left_start), F.col(left_end), width_us))
+    )
+    r = right.withColumn(
+        "__bkr",
+        F.explode(interval_buckets(F.col(right_start), F.col(right_end), width_us)),
+    )
+    joined = l.join(r, (l["__bkl"] == r["__bkr"]) & (l[on] == r[on])).filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        & (
+            F.col("__bkl")
+            == _bucket(F.greatest(F.col(left_start), F.col(right_start)), width_us).cast(
+                "long"
+            )
+        )
+    )
+    return joined.drop(r[on]).drop("__bkl").drop("__bkr")

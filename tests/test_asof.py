@@ -278,3 +278,68 @@ def test_range_join_plan_is_equi_join(spark):
     )
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in physical and "Cartesian" not in physical
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Overlap join parity with the naive inequality join, exactly-once —
+    the overlap-start-bucket residual must dedup multi-bucket meetings
+    without a distinct."""
+    import random
+
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    rng = random.Random(7)
+    W = 64
+    lrows = [
+        (rng.randrange(3), (s := rng.randrange(0, 900)), s + rng.randrange(1, 300), i)
+        for i in range(60)
+    ]
+    rrows = [
+        (rng.randrange(3), (s := rng.randrange(0, 900)), s + rng.randrange(1, 300), i)
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(lrows, "k int, ls long, le long, lid int")
+    right = spark.createDataFrame(rrows, "k int, rs long, re long, rid int")
+    got = sorted(
+        (r.k, r.lid, r.rid)
+        for r in RJ.interval_overlap_join(
+            left, right, on="k", left_start="ls", left_end="le",
+            right_start="rs", right_end="re", width_us=W,
+        ).collect()
+    )
+    naive = sorted(
+        (r.k, r.lid, r.rid)
+        for r in left.join(right, "k").filter("ls < re AND rs < le").collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # exactly once despite multi-bucket overlap
+
+
+def test_range_join_hypothesis_parity(spark):
+    """Randomized sweep over bucket widths and interval shapes: the
+    bucketized range join must equal the naive join for every width."""
+    import random
+
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    rng = random.Random(99)
+    rows_b = [
+        (rng.randrange(4), (s := rng.randrange(0, 2000)), s + rng.randrange(0, 500), i)
+        for i in range(80)
+    ]
+    rows_p = [(rng.randrange(4), rng.randrange(0, 2500), i) for i in range(120)]
+    build = spark.createDataFrame(rows_b, "k int, s_us long, e_us long, bid int")
+    probe = spark.createDataFrame(rows_p, "k int, t_us long, pid int")
+    naive = sorted(
+        (r.k, r.pid, r.bid)
+        for r in probe.join(build, "k").filter("s_us <= t_us AND t_us < e_us").collect()
+    )
+    for w in (1, 7, 100, 512, 4096):
+        got = sorted(
+            (r.k, r.pid, r.bid)
+            for r in RJ.range_join(
+                probe, build, on="k", probe_time_us="t_us",
+                start_us="s_us", end_us="e_us", width_us=w,
+            ).collect()
+        )
+        assert got == naive, f"width={w}"
