@@ -1,6 +1,7 @@
 """F4 — predicate + combinator match fixtures, mirroring the reference's
-matcher positive/negative pairs (/root/reference/css/selector/match_test.go:28-77)
-and finder golden match-lists (match_test.go:79-170)."""
+matcher positive/negative pairs (TestSelectorMatch,
+/root/reference/css/selector/match_test.go:28-77,190-203) and finder
+golden match-lists (TestSelectorFind, match_test.go:79-170,172-188)."""
 
 import pytest
 from pyspark.sql import functions as F

@@ -1,5 +1,6 @@
 """F6 — parser round-trips + fail-fast errors, mirroring
-/root/reference/css/selector/data_test.go:8-49 and parse.go error paths."""
+TestSelectorString (/root/reference/css/selector/data_test.go:8-49,27-49)
+and parse.go error paths."""
 
 import pytest
 
@@ -34,7 +35,7 @@ ROUND_TRIPS = [
 
 @pytest.mark.parametrize("spec", ROUND_TRIPS)
 def test_round_trip(spec):
-    # compile(s).describe() == s (data_test.go:8-49 analogue)
+    # compile(s).describe() == s (TestSelectorString data_test.go:27-49 analogue)
     assert str(parse_rule(spec)) == spec
 
 

@@ -24,7 +24,8 @@ def _result(tr, doc="d000000"):
 
 
 def test_append(spark):
-    # TestTransformApply (transform_test.go:34-41): append "bar" at matched
+    # TestTransformApply (transform_test.go:34-41) + the direct-op
+    # TestAppendChildren (transform_test.go:67-73): append at matched
     df = spark.createDataFrame(
         [("d000000", [1, 2, 3], "web"), ("d000001", [9], "web")],
         "doc_id string, tokens array<int>, source string",
@@ -233,3 +234,40 @@ def test_subtransform_scoped_after_match(spark):
     got = {r.doc_id: r.tokens for r in tr.df.collect()}
     assert got["d000000"] == [1, 9, 2, 101, 3]  # the 1 BEFORE the 2 untouched
     assert got["d000001"] == [1, 1, 1]  # no outer match -> untouched
+
+
+def test_new_transformer_preserves_doc(spark):
+    # TestNewTransformer (transform_test.go:27-32): the freshly wrapped
+    # document is the input document (here: the plan is the SAME DataFrame,
+    # untouched until a rule is applied)
+    df = spark.createDataFrame(
+        [("d000000", [1, 2], "web")], "doc_id string, tokens array<int>, source string"
+    )
+    tr = Transformer(df)
+    assert tr.df is df
+    assert [r.tokens for r in tr.df.collect()] == [[1, 2]]
+
+
+def test_clone_is_independent_snapshot(spark):
+    # TestNodeClone (h5_test.go:32-43) + Transformer.Clone
+    # (transform.go:81-83): mutating the clone must not touch the original
+    # — immutability gives the reference's deep-clone contract for free.
+    df = spark.createDataFrame(
+        [("d000000", [1, 2], "web")], "doc_id string, tokens array<int>, source string"
+    )
+    tr = Transformer(df)
+    cl = tr.clone().apply("t1", lambda t, p: X.append_children(t, [99]))
+    assert [r.tokens for r in cl.df.collect()] == [[1, 2, 99]]
+    assert [r.tokens for r in tr.df.collect()] == [[1, 2]]  # original untouched
+
+
+def test_node_walk_counts(spark):
+    # TestNodeWalk (h5_test.go:45-56): walking the tree visits every node
+    # exactly once — the flat-sequence analogue is sum(size(tokens)) over
+    # the corpus equalling the python-side count.
+    rows = [("d%06d" % i, list(range(i % 5)), "web") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    )
+    total = df.select(F.sum(F.size("tokens"))).first()[0]
+    assert total == sum(len(t) for _, t, _ in rows)
