@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import sharding as SH
 from go_html_transform_spark.plans.registry import _cte, register
 from go_html_transform_spark.sources import tables as S
 
@@ -94,7 +95,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS minhash_csv,
                {D.simhash16_sql('tokens')} AS simhash,
                len({D.shingles3_sql('tokens')}) AS n_shingles,
-               len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct
+               len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct,
+               {SH.assign_shards_sql('doc_key', 64, seed=0)} AS shard
         FROM doc
         """
     ),
@@ -105,6 +107,8 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * minhash_csv — 16-hash MinHash signature (the LSH band-join input)
     * simhash — 16-bit SimHash (pure bit arithmetic)
+    * shard — deterministic affine shard id (operators/sharding.py):
+      stable under any partitioning/order, the resumable output-layout key
     * n_shingles / n_distinct — packed 3-gram shingle stats, the n-gram
       Jaccard building block (pairs path exercised in tests; shingle
       sets here are near-unique so pair queries would be vacuous at
@@ -112,15 +116,21 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     doc = S.documents_tokenized(spark, sf_dir)
     sh = D.shingles3(F.col("tokens"))
-    return doc.select(
-        "doc_id",
-        F.concat_ws(",", D.minhash_signature(F.col("tokens"), 16)).alias(
-            "minhash_csv"
+    return SH.assign_shards(
+        doc.select(
+            "doc_id",
+            "doc_key",
+            F.concat_ws(",", D.minhash_signature(F.col("tokens"), 16)).alias(
+                "minhash_csv"
+            ),
+            D.simhash16(F.col("tokens")).alias("simhash"),
+            F.size(sh).alias("n_shingles"),
+            F.size(F.array_distinct(sh)).alias("n_distinct"),
         ),
-        D.simhash16(F.col("tokens")).alias("simhash"),
-        F.size(sh).alias("n_shingles"),
-        F.size(F.array_distinct(sh)).alias("n_distinct"),
-    )
+        F.col("doc_key"),
+        n_shards=64,
+        seed=0,
+    ).drop("doc_key")
 
 
 def _bands_sql(n_hashes: int = 16, bands: int = 4) -> str:

@@ -296,3 +296,64 @@ def test_simhash_near_duplicates(spark, corpus):
     }
     for (a, b), h in got.items():
         assert bin(sh[a] ^ sh[b]).count("1") == h
+
+
+# --- sharding / deterministic shuffle (operators/sharding.py) ---------------
+
+
+def test_assign_shards_stable_under_partitioning(spark):
+    from go_html_transform_spark.operators import sharding as SH
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = {
+        r.k: r.shard
+        for r in SH.assign_shards(df, F.col("k"), 64, seed=3).collect()
+    }
+    b = {
+        r.k: r.shard
+        for r in SH.assign_shards(
+            df.repartition(13).sortWithinPartitions(F.desc("k")),
+            F.col("k"), 64, seed=3,
+        ).collect()
+    }
+    assert a == b  # physical layout cannot change shard routing
+    assert set(a.values()) == set(range(64))  # all shards populated
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert max(counts.values()) <= 3 * (1000 // 64)  # rough uniformity
+
+
+def test_deterministic_shuffle_reproducible_and_parallel(spark):
+    from go_html_transform_spark.operators import sharding as SH
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    p1 = [r.k for r in SH.deterministic_shuffle(df, F.col("k"), seed=7).collect()]
+    p2 = [
+        r.k
+        for r in SH.deterministic_shuffle(
+            df.repartition(11), F.col("k"), seed=7
+        ).collect()
+    ]
+    assert p1 == p2  # same permutation regardless of input layout
+    assert p1 != sorted(p1)  # actually shuffled
+    assert sorted(p1) == list(range(500))  # a permutation
+    # python twin: same affine ordering
+    want = sorted(range(500), key=lambda k: (SH.shuffle_hash_py(k, 7), k))
+    assert p1 == want
+    # the global order comes from a range-partitioned sort, not a
+    # single-partition collapse
+    plan = (
+        SH.deterministic_shuffle(df, F.col("k"), seed=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan or "SinglePartition" not in plan
+
+
+def test_different_seed_different_permutation(spark):
+    from go_html_transform_spark.operators import sharding as SH
+
+    df = spark.range(300).withColumnRenamed("id", "k")
+    p7 = [r.k for r in SH.deterministic_shuffle(df, F.col("k"), seed=7).collect()]
+    p8 = [r.k for r in SH.deterministic_shuffle(df, F.col("k"), seed=8).collect()]
+    assert p7 != p8
