@@ -218,6 +218,54 @@ def streaming_stateful_features(
     )
 
 
+def streaming_asof_enrich(
+    seq_stream: DataFrame,
+    labels: DataFrame,
+    key_col: str = "doc_id",
+    time_col: str = "event_time",
+    label_time_col: str = "obs_time",
+    label_value_col: str = "label_value",
+) -> DataFrame:
+    """Stateless streaming as-of (backward, inclusive): every stream row
+    gets the latest label at-or-before its own timestamp — the streaming
+    twin of operators/asof.asof_join(direction='backward').
+
+    The static side collapses to ONE row per entity holding its full
+    sorted (t, value) timeline; the stream side is then a stream-static
+    broadcast join (no shuffle of the stream, no streaming state) and the
+    as-of pick is `try_element_at(filter(timeline, t <= ev), -1)` — the
+    last qualifying element of an ordered array. Right-side duplicates at
+    the same t resolve to max(value), matching the batch engine's dedup.
+
+    Scale contract: per-entity timelines must be broadcastable (dim
+    bounded); for unbounded/hot label streams use the stateful path
+    (streaming_stateful_features' GroupState) instead. The filter lambda
+    captures only the MATERIALIZED __ev_us column — capturing a computed
+    expression instead would re-evaluate it once per array element
+    (interpreted CodegenFallback, the round-1 HOF pitfall)."""
+    dim = labels.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(label_time_col).cast("timestamp")).alias("t"),
+                    F.col(label_value_col).alias("v"),
+                )
+            )
+        ).alias("__tl")
+    )
+    s = seq_stream.withColumn(
+        "__ev_us", F.unix_micros(F.col(time_col).cast("timestamp"))
+    )
+    best = F.try_element_at(
+        F.filter(F.col("__tl"), lambda x: x["t"] <= F.col("__ev_us")), F.lit(-1)
+    )
+    return (
+        s.join(F.broadcast(dim), key_col, "left")
+        .withColumn(label_value_col, best["v"])
+        .drop("__tl", "__ev_us")
+    )
+
+
 def streaming_dedup(
     seq_stream: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id", "event_id"),

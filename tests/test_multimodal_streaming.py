@@ -204,3 +204,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     assert got_keys == want_keys
     assert len(got_keys) == len(set(got_keys))  # exactly once
+
+
+def test_streaming_asof_enrich_matches_batch_asof(spark, tmp_path):
+    """Stateless stream-static as-of == the batch as-of join (backward,
+    inclusive, right-dup -> max value) on every (key, time) — including
+    keys with no labels and times before the first label."""
+    import datetime as dt
+
+    from go_html_transform_spark.operators.asof import asof_join
+
+    BASE = dt.datetime(2026, 1, 1)
+    import random
+
+    rng = random.Random(5)
+    left = [
+        (f"d{i%7:03d}", BASE + dt.timedelta(seconds=rng.randrange(0, 50000)), float(i))
+        for i in range(300)
+    ]
+    right = [
+        (f"d{i%5:03d}", BASE + dt.timedelta(seconds=rng.randrange(0, 50000)), round(rng.random(), 3))
+        for i in range(60)
+    ]
+    right.append((right[0][0], right[0][1], -1.0))  # duplicate (key, t): max wins
+    l = spark.createDataFrame(left, "doc_id string, event_time timestamp, lval double")
+    r = spark.createDataFrame(right, "doc_id string, obs_time timestamp, label_value double")
+
+    want = {
+        (x.doc_id, x.event_time): x.label_value
+        for x in asof_join(l, r, direction="backward").collect()
+    }
+
+    src = str(tmp_path / "asof_stream")
+    l.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(l.schema).parquet(src)
+    out = ST.streaming_asof_enrich(stream, r)
+    assert out.isStreaming
+    got_df = ST.run_available_now(out, "asof_enrich", output_mode="append")
+    got = {(x.doc_id, x.event_time): x.label_value for x in got_df.collect()}
+    assert got == want
