@@ -200,18 +200,26 @@ def subword_token_count_sql(text: str = "text") -> str:
 def fingerprint(tokens: Column) -> Column:
     """acc = (acc*31 + t) mod (2^31-1) over the token sequence — the
     rolling-hash analogue of the reference's rendered-string identity
-    (h5/h5.go:40-54 golden-string equality)."""
-    return F.aggregate(
-        tokens,
-        F.lit(0).cast("long"),
-        lambda acc, t: (acc * FP_MUL + t) % FP_MOD,
+    (h5/h5.go:40-54 golden-string equality). NULL elements are skipped
+    (order of the survivors preserved): a NULL otherwise poisons Spark's
+    fold to NULL while the DuckDB twin COALESCEd to 0 — a dtype-class
+    divergence found by tests/test_oracle_fuzz.py."""
+    return F.coalesce(
+        F.aggregate(
+            F.filter(tokens, lambda t: t.isNotNull()),
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * FP_MUL + t) % FP_MOD,
+        ),
+        F.lit(0).cast("long"),  # NULL array -> 0, like the twin's COALESCE
     )
 
 
 def fingerprint_sql(tokens: str = "tokens") -> str:
-    # list_reduce seeds with the first element, so prepend the 0 seed
+    # list_reduce seeds with the first element, so prepend the 0 seed;
+    # null elements filtered to match the engine's null-skip
     return (
         f"COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform({tokens}, t -> CAST(t AS BIGINT))), "
+        f"list_transform(list_filter({tokens}, t -> t IS NOT NULL), "
+        f"t -> CAST(t AS BIGINT))), "
         f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD}), 0)"
     )

@@ -228,7 +228,12 @@ def minhash_near_duplicates(
 
 def simhash16(tokens: Column) -> Column:
     """16-bit SimHash over token multiset: bit j set iff the sum over
-    tokens of (2*bit_j(h(t)) - 1) is >= 0. Pure integer arithmetic."""
+    tokens of (2*bit_j(h(t)) - 1) is >= 0. Pure integer arithmetic.
+    NULL elements are skipped (DuckDB's list_sum null-skips, so a NULL
+    contributing to Spark's fold would poison the balance to NULL and
+    zero every bit — found by tests/test_oracle_fuzz.py; same contract
+    as minhash_signature and the _minhash16_impl Arrow kernel)."""
+    toks = F.filter(tokens, lambda t: t.isNotNull())
     h = lambda t: (t.cast("long") * SIMHASH_A + SIMHASH_B) % SIMHASH_P  # noqa: E731
 
     def bit_balance(j: int):
@@ -238,7 +243,13 @@ def simhash16(tokens: Column) -> Column:
 
     out = F.lit(0).cast("long")
     for j in range(16):
-        bal = F.aggregate(tokens, F.lit(0).cast("long"), bit_balance(j))
+        # coalesce: a NULL tokens column yields bal NULL; the twin's
+        # COALESCE(list_sum(...), 0) pins NULL/empty evidence to bal=0
+        # (all bits set) — match it
+        bal = F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("long"), bit_balance(j)),
+            F.lit(0).cast("long"),
+        )
         out = out + F.when(bal >= 0, F.lit(2**j)).otherwise(F.lit(0))
     return out
 

@@ -1,0 +1,172 @@
+"""Randomized cross-engine fuzz: every deterministic signature / hash /
+scoring kernel that has a DuckDB SQL twin is checked on a RANDOM corpus
+(not just the driver's parquet tables), including the dirty shapes the
+testdata never produces — empty token arrays, single tokens, NULL token
+elements, unicode/punctuation-heavy text, zero-length text.
+
+This is the adversarial complement to tools/crosscheck.py: crosscheck
+proves the twins agree on the two driver corpora; this proves they agree
+on inputs chosen to straddle edge cases (the strict string-form compare
+matches the driver's dtype-sensitive hash)."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import sharding as SH
+from go_html_transform_spark.operators.similarity import lsh_bucket, lsh_bucket_sql
+
+SEED = 20260817
+
+
+def _token_corpus():
+    rng = random.Random(SEED)
+    rows = []
+    for i in range(120):
+        n = rng.randrange(0, 30)
+        toks = [rng.randrange(1024) for _ in range(n)]
+        rows.append((i, toks))
+    # degenerate shapes: empty, singleton, constant, NULL elements (the
+    # round-1 ADVICE divergence class — expression twins must null-skip
+    # identically)
+    rows += [(120, []), (121, [5]), (122, [5, 5, 5, 5]), (123, [1, None, 3]),
+             (124, None)]  # whole-NULL array
+    return rows
+
+
+def _strict(df, duck_rows):
+    """Compare through the same path the driver uses: pandas + str()."""
+    got = df.toPandas()
+    key = list(got.columns)[0]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = duck_rows.df().sort_values(key).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a = [str(x) for x in got[c].tolist()]
+        b = [str(x) for x in want[c].tolist()]
+        assert a == b, (c, [(x, y) for x, y in zip(a, b) if x != y][:5])
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def test_token_signature_twins_random_corpus(spark, duck):
+    rows = _token_corpus()
+    df = spark.createDataFrame(rows, "id long, tokens array<int>")
+    duck.execute("CREATE OR REPLACE TABLE tcorp (id BIGINT, tokens INTEGER[])")
+    duck.executemany("INSERT INTO tcorp VALUES (?, ?)", rows)
+
+    eng = df.select(
+        "id",
+        F.concat_ws(",", D.minhash_signature(F.col("tokens"), 16)).alias("mh"),
+        D.simhash16(F.col("tokens")).alias("sh"),
+        F.size(D.shingles3(F.col("tokens"))).alias("nsh"),
+        TX.fingerprint(F.col("tokens")).alias("fp"),
+    )
+    ora = duck.sql(
+        f"""
+        SELECT id,
+               array_to_string({D.minhash_signature_sql('tokens', 16)}, ',') AS mh,
+               {D.simhash16_sql('tokens')} AS sh,
+               CAST(len({D.shingles3_sql('tokens')}) AS INTEGER) AS nsh,
+               {TX.fingerprint_sql('tokens')} AS fp
+        FROM tcorp ORDER BY id
+        """
+    )
+    _strict(eng, ora)
+
+
+def test_lsh_and_shard_twins_random_vectors(spark, duck):
+    rng = random.Random(SEED + 1)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 6) for _ in range(24)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    duck.execute("CREATE OR REPLACE TABLE vcorp (id BIGINT, v DOUBLE[])")
+    duck.executemany("INSERT INTO vcorp VALUES (?, ?)", rows)
+
+    eng = SH.assign_shards(
+        df.select(
+            "id",
+            lsh_bucket(F.col("v"), 8).alias("b0"),
+            lsh_bucket(F.col("v"), 6, plane_offset=6).alias("b1"),
+        ),
+        F.col("id"),
+        n_shards=32,
+        seed=9,
+    )
+    ora = duck.sql(
+        f"""
+        SELECT id,
+               {lsh_bucket_sql('v', 8)} AS b0,
+               {lsh_bucket_sql('v', 6, 6)} AS b1,
+               {SH.assign_shards_sql('id', 32, seed=9)} AS shard
+        FROM vcorp ORDER BY id
+        """
+    )
+    _strict(eng, ora)
+
+
+def test_text_scoring_twins_adversarial_text(spark, duck):
+    rng = random.Random(SEED + 2)
+    words = ["the", "and", "für", "naïve", "TOKEN", "x", "…", "3.14", "a" * 40]
+    rows = []
+    for i in range(100):
+        n = rng.randrange(0, 25)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    rows += [(100, ""), (101, "   "), (102, "!!!???"), (103, "\tütf8 ünïcode\n")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    duck.execute("CREATE OR REPLACE TABLE dcorp (id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO dcorp VALUES (?, ?)", rows)
+
+    eng = df.select(
+        "id",
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score_ppm(F.col("text")).alias("q_ppm"),
+        TX.subword_token_count(F.col("text")).alias("n_sub"),
+    )
+    ora = duck.sql(
+        f"""
+        SELECT id,
+               {TX.lang_id_sql('text')} AS lang,
+               {TX.quality_score_ppm_sql('text')} AS q_ppm,
+               {TX.subword_token_count_sql('text')} AS n_sub
+        FROM dcorp ORDER BY id
+        """
+    )
+    _strict(eng, ora)
+
+
+def test_jaccard_ppm_twin_exhaustive_small_sets(spark, duck):
+    """jaccard_ppm over ALL pairs of a small set zoo — exercises the
+    dyadic-denominator tie class that broke ROUND(double) at sf0.1."""
+    zoo = [
+        (0, []), (1, [1]), (2, [1, 2]), (3, [1, 2, 3, 4]),
+        (4, list(range(8))), (5, list(range(128))), (6, [1, 3, 5, 7]),
+        (7, list(range(64))), (8, [2, 4]), (9, list(range(0, 128, 2))),
+    ]
+    pairs = [(a, ta, b, tb) for a, ta in zoo for b, tb in zoo if a < b]
+    df = spark.createDataFrame(pairs, "ia long, ta array<int>, ib long, tb array<int>")
+    duck.execute(
+        "CREATE OR REPLACE TABLE pzoo (ia BIGINT, ta INTEGER[], ib BIGINT, tb INTEGER[])"
+    )
+    duck.executemany("INSERT INTO pzoo VALUES (?, ?, ?, ?)", pairs)
+    eng = df.select(
+        (F.col("ia") * 100 + F.col("ib")).alias("pk"),
+        D.jaccard_ppm(F.col("ta"), F.col("tb")).alias("jppm"),
+    )
+    ora = duck.sql(
+        f"""
+        SELECT ia * 100 + ib AS pk,
+               {D.jaccard_ppm_sql('list_distinct(ta)', 'list_distinct(tb)')} AS jppm
+        FROM pzoo ORDER BY pk
+        """
+    )
+    _strict(eng, ora)
