@@ -188,10 +188,6 @@ def main() -> None:
             direction="backward",
         )
     )
-    timed(
-        "compute_pipeline",
-        lambda: full.write.format("noop").mode("overwrite").save(),
-    )
     # parquet sink on tmpfs: the sandbox's single ~300 MB/s virtual disk is
     # a fixed-IO artifact no core count can parallelize; a real cluster's
     # sink (HDFS/S3/Iceberg) scales its aggregate bandwidth with executors,
@@ -200,10 +196,27 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="ghts_bench_", dir=sink_root)
     before_ids = {s["stageId"] for s in completed_stages()}
     try:
-        timed(
-            "full_pipeline",
-            lambda: full.write.mode("overwrite").parquet(f"{out_dir}/out"),
-        )
+        # INTERLEAVED min-of-3 (c,f,c,f,c,f): ambient load drifts over the
+        # ~1 min the pair takes, and back-to-back blocks hand the drift
+        # entirely to one of the two — the round-1 "noop slower than
+        # parquet" inversion. Alternating exposes both to the same
+        # environment; min still drops warmup/GC-debt outliers.
+        best_c, best_f = None, None
+        for _ in range(3):
+            jvm.System.gc()
+            time.sleep(1)
+            t0 = time.perf_counter()
+            full.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+            jvm.System.gc()
+            time.sleep(1)
+            t0 = time.perf_counter()
+            full.write.mode("overwrite").parquet(f"{out_dir}/out")
+            dt = time.perf_counter() - t0
+            best_f = dt if best_f is None else min(best_f, dt)
+        timings["compute_pipeline"] = round(best_c, 3)
+        timings["full_pipeline"] = round(best_f, 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     new_stages = [
@@ -224,9 +237,10 @@ def main() -> None:
         "sequences_per_sec": round(n_sequences / timings["full_pipeline"], 1),
         "compute_sequences_per_sec": round(n_sequences / timings["compute_pipeline"], 1),
         "total_sec": total,
-        # task-time totals across the 3 full_pipeline repeats (identical
-        # logical work at every parallelism level, so 8-vs-32 ratios of
-        # these isolate per-task CPU inflation from scheduling loss)
+        # task-time totals across the 6 interleaved pipeline executions
+        # (3 noop + 3 parquet; identical logical work at every parallelism
+        # level, so 8-vs-32 ratios of these isolate per-task CPU inflation
+        # from scheduling loss)
         "full_task_run_ms": round(task_run_ms, 1),
         "full_task_cpu_ms": round(task_cpu_ms, 1),
     }
