@@ -31,8 +31,17 @@ def run(cpus: int, replicate: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_REPLICATE=str(replicate),
     )
+    # Pin the process tree to exactly `cpus` physical cores. Without this
+    # the "N-core" level is really N worker threads whose JVM helper
+    # threads (GC, shuffle cleaner, netty, codegen compiler) float across
+    # ALL 32 cores — a subsidy no real N-core executor node gets, which
+    # inflates small-N throughput and understates scaling efficiency.
+    # taskset affinity is inherited by the JVM, and OpenJDK sizes its GC/
+    # compiler thread pools from the affinity mask, exactly as on a real
+    # N-core node.
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+         os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
