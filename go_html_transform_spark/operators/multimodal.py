@@ -146,3 +146,68 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize plumbing: (media_id, payload, meta) -> same schema with
+    the payload re-encoded at (width, height) and meta updated. The codec
+    is STUBBED like decode_media (no image libs in this container): with
+    ``fake=True`` the "resized" payload is a deterministic content-digest
+    byte stream of length width*height//64 — stable across runs and
+    partitionings so the distributed pipeline (Arrow batch iterator,
+    schema round-trip, meta rewrite) is fully testable; without it,
+    NotImplementedError.
+
+    Scale: one Arrow batch of blobs in flight per task (mapInPandas
+    iterator); resize is embarrassingly parallel, so the only knobs that
+    matter are maxRecordsPerBatch vs blob size and upstream content-hash
+    dedupe so replicated blobs are resized once."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True for the deterministic stub resizer"
+        )
+    src = with_content_hash(df.filter(F.col("kind") == "image"))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                MEDIA_SCHEMA["meta"].dataType,
+            ),
+        ]
+    )
+    n_bytes = max(1, width * height // 64)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for p in pdf["payload"]:
+                seed = _content_digest(p)
+                # deterministic pseudo-pixels from the digest (affine walk)
+                raw = (seed + 31 * np.arange(n_bytes, dtype=np.int64)) % 251
+                payloads.append(raw.astype(np.uint8).tobytes())
+                metas.append(
+                    {"width": width, "height": height,
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return src.select("media_id", "kind", "payload").mapInPandas(
+        resize_batches, out_schema
+    )

@@ -243,3 +243,21 @@ def test_streaming_asof_enrich_matches_batch_asof(spark, tmp_path):
     got_df = ST.run_available_now(out, "asof_enrich", output_mode="append")
     got = {(x.doc_id, x.event_time): x.label_value for x in got_df.collect()}
     assert got == want
+
+
+def test_resize_media_plumbing(spark, media):
+    with pytest.raises(NotImplementedError):
+        MM.resize_media(media, 16, 16, fake=False)
+    out = MM.resize_media(media, 16, 16, fake=True)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {"m0", "m1", "m2"}  # images only
+    for r in rows.values():
+        assert r.meta.width == 16 and r.meta.height == 16
+        assert len(r.payload) == 16 * 16 // 64
+    # identical source payload -> identical resized bytes (determinism)
+    assert bytes(rows["m0"].payload) == bytes(rows["m2"].payload)
+    assert bytes(rows["m0"].payload) != bytes(rows["m1"].payload)
+    # stable across partitionings
+    out2 = MM.resize_media(media.repartition(5), 16, 16, fake=True)
+    rows2 = {r.media_id: bytes(r.payload) for r in out2.collect()}
+    assert rows2 == {k: bytes(v.payload) for k, v in rows.items()}
