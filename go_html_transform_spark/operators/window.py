@@ -182,3 +182,70 @@ def add_features(
         F.last("value", ignorenulls=True).over(wcur).alias("value_ffill"),
         F.row_number().over(w).alias("event_seq"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    value_cols: list[str],
+    step_seconds: int,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+) -> DataFrame:
+    """Regular-grid resample + forward-fill: one output row per entity per
+    `step_seconds` tick from the entity's first observation to its last,
+    carrying the latest value at-or-before each tick (half of the north
+    rule's "forward-fill backfill"; the observed-row variant is
+    forward_fill above).
+
+    Plan shape: the per-entity tick grid is F.sequence over the µs span
+    (pure Column arithmetic, fan-out = span/step — no driver loop, no
+    cross join); the as-of pick joins ticks to observations with a single
+    (entity)-partitioned window: union ticks+observations, last(value)
+    ignorenulls over event-time order — the same one-exchange-one-sort
+    union trick as operators/asof.py, so a grid at 10^12 scale shuffles
+    once. Leak-free: a tick only sees observations with t_obs <= tick."""
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    step_us = step_seconds * 1_000_000
+    span = df.groupBy(partition_by).agg(
+        F.min(us).alias("__t0"), F.max(us).alias("__t1")
+    )
+    ticks = span.select(
+        partition_by,
+        F.explode(
+            F.sequence(F.col("__t0"), F.col("__t1"), F.lit(step_us))
+        ).alias("__tick_us"),
+    )
+    obs = df.select(
+        partition_by,
+        us.alias("__t_us"),
+        *[F.col(c) for c in value_cols],
+    )
+    # union trick: observations sort before the tick at the same µs is
+    # WRONG for as-of inclusive semantics? No: tick at exactly t_obs must
+    # SEE it -> order by (time, is_tick) so the observation comes first.
+    tick_rows = ticks.select(
+        partition_by,
+        F.col("__tick_us").alias("__t_us"),
+        F.lit(1).alias("__is_tick"),
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    obs_rows = obs.select(
+        partition_by, "__t_us", F.lit(0).alias("__is_tick"), *value_cols
+    )
+    unioned = obs_rows.unionByName(tick_rows)
+    # value_cols in the order = deterministic max-value-wins on duplicate
+    # (entity, t) observations — the same dedup contract asof_join pins
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy("__t_us", "__is_tick", *value_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        partition_by,
+        "__t_us",
+        "__is_tick",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("__is_tick") == 1).select(
+        partition_by, F.col("__t_us").alias("tick_us"), *value_cols
+    )

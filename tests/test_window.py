@@ -176,3 +176,59 @@ def test_single_shuffle_plan(spark, tiny):
     plan = W.add_features(tiny)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.lower().count("sort ") <= 2, plan
+
+
+def test_resample_ffill_matches_duckdb(spark):
+    """Regular-grid resample+ffill vs an independent DuckDB formulation
+    (generate_series grid + correlated as-of pick), including duplicate
+    timestamps (max wins), gaps spanning many ticks, and single-point
+    entities."""
+    import datetime as dt
+
+    import duckdb
+
+    from go_html_transform_spark.operators.window import resample_ffill
+
+    BASE = dt.datetime(2026, 1, 1)
+    rows = [
+        ("d0", BASE, 1.0),
+        ("d0", BASE + dt.timedelta(seconds=90), 2.0),
+        ("d0", BASE + dt.timedelta(seconds=90), 5.0),   # dup t: max wins
+        ("d0", BASE + dt.timedelta(seconds=1000), 3.0),  # long gap
+        ("d1", BASE + dt.timedelta(seconds=30), 7.0),    # single point
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, event_time timestamp, v double")
+    got = sorted(
+        (r.doc_id, r.tick_us, r.v)
+        for r in resample_ffill(df, ["v"], step_seconds=60).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE obs (doc_id VARCHAR, t_us BIGINT, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO obs VALUES (?, ?, ?)",
+        [(d, int(t.timestamp() * 1_000_000), v) for d, t, v in rows],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH span AS (
+              SELECT doc_id, MIN(t_us) t0, MAX(t_us) t1 FROM obs GROUP BY 1
+            ),
+            grid AS (
+              SELECT doc_id, unnest(generate_series(t0, t1, 60000000)) AS tick_us
+              FROM span
+            )
+            SELECT g.doc_id, g.tick_us,
+                   (SELECT MAX(o.v) FROM obs o
+                    WHERE o.doc_id = g.doc_id AND o.t_us = (
+                        SELECT MAX(t_us) FROM obs oo
+                        WHERE oo.doc_id = g.doc_id AND oo.t_us <= g.tick_us)) AS v
+            FROM grid g ORDER BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # leak-free: first tick of d0 sees only the first observation
+    assert got[0] == ("d0", int(BASE.timestamp() * 1_000_000), 1.0)
