@@ -134,3 +134,42 @@ def test_sequences_large_dim_takes_salted_sort_merge(spark):
     a = {r.event_id for r in big.select("event_id").collect()}
     b = {r.event_id for r in small.select("event_id").collect()}
     assert a == b
+
+
+def test_resample_ffill_single_window_exchange(spark):
+    """The tick grid + as-of fill must cost ONE hashpartitioning exchange
+    for the window (plus the span aggregation's partial/final pair) and
+    stay Python-free."""
+    from go_html_transform_spark.operators.window import resample_ffill
+
+    seq = S.sequences(spark, SF_DIR).select("doc_id", "event_time", "value")
+    p = plan_of(resample_ffill(seq, ["value"], step_seconds=3600))
+    # exchanges: span agg (1) + window partitioning (1); the union must
+    # NOT add a third repartitioning of the data
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Python" not in p and "ArrowEval" not in p, p
+
+
+def test_range_join_is_equi_join_on_bucket(spark):
+    """range_join on real tables: equi-join keyed on the bucket column,
+    never a nested-loop/cartesian fallback."""
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    ev = S.load_table(spark, SF_DIR, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("s_us"))
+        .withColumn("e_us", F.col("s_us") + F.lit(3600 * RJ.MICROS))
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("t_us")
+    )
+    p = plan_of(
+        RJ.range_join(
+            probes, clicks, on="user_id", probe_time_us="t_us",
+            start_us="s_us", end_us="e_us", width_us=3600 * RJ.MICROS,
+        )
+    )
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert "__bk" in p  # the bucket is part of the join key
