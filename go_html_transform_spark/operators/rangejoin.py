@@ -63,23 +63,41 @@ def range_join(
     start_us: str,
     end_us: str,
     width_us: int,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Inner-join probe rows into build intervals of the same `on` key:
     keeps pairs with start_us <= probe_time_us < end_us (half-open, µs
     precision end-to-end). All non-key columns of both inputs pass
     through; `width_us` is the bucketization width (pick ~ the typical
-    interval length; fan-out per interval is ceil(L/width)+1)."""
+    interval length; fan-out per interval is ceil(L/width)+1).
+
+    `n_salts > 1` splits hot (key, bucket) cells: each probe row hashes
+    deterministically to one of n_salts sub-keys (pmod of its own µs
+    timestamp — reproducible, no RNG) and every interval-bucket row is
+    replicated across all n_salts, so per-partition work drops by ~n_salts
+    at the cost of an n_salts× build-side fan-out. Use when one viral key
+    concentrates probes in a few buckets; AQE's skew split handles milder
+    cases without the replication cost."""
     b = build.withColumn(
         "__bk", F.explode(interval_buckets(F.col(start_us), F.col(end_us), width_us))
     )
     p = probe.withColumn(
         "__bk", _bucket(F.col(probe_time_us), width_us).cast("long")
     )
-    joined = p.join(b, [on, "__bk"]).filter(
+    keys = [on, "__bk"]
+    if n_salts > 1:
+        p = p.withColumn(
+            "__salt", F.pmod(F.col(probe_time_us), F.lit(n_salts)).cast("int")
+        )
+        b = b.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        keys.append("__salt")
+    joined = p.join(b, keys).filter(
         (F.col(start_us) <= F.col(probe_time_us))
         & (F.col(probe_time_us) < F.col(end_us))
     )
-    return joined.drop("__bk")
+    return joined.drop("__bk", *(["__salt"] if n_salts > 1 else []))
 
 
 def interval_overlap_join(

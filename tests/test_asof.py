@@ -343,3 +343,41 @@ def test_range_join_hypothesis_parity(spark):
             ).collect()
         )
         assert got == naive, f"width={w}"
+
+
+def test_range_join_salted_parity(spark):
+    """n_salts > 1 must not change the result set — only the shuffle key
+    cardinality. Parity across salt counts on a hot-key fixture (one key
+    owns 80% of probes in one bucket)."""
+    import random
+
+    from go_html_transform_spark.operators import rangejoin as RJ
+
+    rng = random.Random(13)
+    W = 1000
+    build = spark.createDataFrame(
+        [(0, i * 100, i * 100 + 500, i) for i in range(20)]
+        + [(1, 0, 2000, 100)],
+        "k int, s_us long, e_us long, bid int",
+    )
+    probe = spark.createDataFrame(
+        [(0, rng.randrange(0, 900), i) for i in range(400)]  # hot cell
+        + [(1, rng.randrange(0, 2500), 1000 + i) for i in range(50)],
+        "k int, t_us long, pid int",
+    )
+    base = sorted(
+        (r.k, r.pid, r.bid)
+        for r in RJ.range_join(
+            probe, build, on="k", probe_time_us="t_us",
+            start_us="s_us", end_us="e_us", width_us=W,
+        ).collect()
+    )
+    for n_salts in (2, 4, 7):
+        salted = sorted(
+            (r.k, r.pid, r.bid)
+            for r in RJ.range_join(
+                probe, build, on="k", probe_time_us="t_us",
+                start_us="s_us", end_us="e_us", width_us=W, n_salts=n_salts,
+            ).collect()
+        )
+        assert salted == base, n_salts
