@@ -223,3 +223,24 @@ def fingerprint_sql(tokens: str = "tokens") -> str:
         f"t -> CAST(t AS BIGINT))), "
         f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD}), 0)"
     )
+
+
+# BPE-ish regex tokenizer pattern: letter runs | digit runs | single
+# non-alnum-non-space marks. Deliberately restricted to a dialect that
+# parses identically under Java regex (Spark) and RE2 (DuckDB) — no
+# lookarounds, no \p classes.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish REGEX token count: letter runs + digit runs + individual
+    punctuation marks (the GPT-2-pretokenizer shape without lookarounds,
+    so the same pattern runs on Spark's Java regex and DuckDB's RE2).
+    Complements subword_token_count's chars/4 heuristic."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0))).cast("int")
+
+
+def regex_token_count_sql(text: str = "text") -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text}, '{BPE_RE}')) AS INTEGER)"
+    )

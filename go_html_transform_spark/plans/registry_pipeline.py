@@ -31,6 +31,7 @@ from go_html_transform_spark.sources import tables as S
                {TX.quality_score_ppm_sql()} AS quality_ppm,
                len({TX.words_sql()}) AS ws_tokens,
                {TX.subword_token_count_sql()} AS subword_tokens,
+               {TX.regex_token_count_sql()} AS regex_tokens,
                {TX.fingerprint_sql('tokens')} AS fp
         FROM doc
         """
@@ -46,7 +47,8 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       ratio, word-length band, distinct ratio) in EXACT integer
       parts-per-million: the rounded-double form hits cross-engine ROUND
       tie divergence (found at sf0.1; see functions/text.quality_score_ppm)
-    * ws_tokens / subword_tokens — whitespace + BPE-ish (chars/4) token
+    * ws_tokens / subword_tokens / regex_tokens — whitespace, chars/4
+      heuristic, and BPE-ish regex (shared Java-regex/RE2 dialect) token
       counting
     * fp — order-sensitive rolling-hash document fingerprint
     """
@@ -57,6 +59,7 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score_ppm(F.col("text")).alias("quality_ppm"),
         TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
         TX.subword_token_count(F.col("text")).alias("subword_tokens"),
+        TX.regex_token_count(F.col("text")).alias("regex_tokens"),
         TX.fingerprint(F.col("tokens")).alias("fp"),
     )
 

@@ -131,13 +131,15 @@ def test_text_scoring_twins_adversarial_text(spark, duck):
         TX.lang_id(F.col("text")).alias("lang"),
         TX.quality_score_ppm(F.col("text")).alias("q_ppm"),
         TX.subword_token_count(F.col("text")).alias("n_sub"),
+        TX.regex_token_count(F.col("text")).alias("n_re"),
     )
     ora = duck.sql(
         f"""
         SELECT id,
                {TX.lang_id_sql('text')} AS lang,
                {TX.quality_score_ppm_sql('text')} AS q_ppm,
-               {TX.subword_token_count_sql('text')} AS n_sub
+               {TX.subword_token_count_sql('text')} AS n_sub,
+               {TX.regex_token_count_sql('text')} AS n_re
         FROM dcorp ORDER BY id
         """
     )
