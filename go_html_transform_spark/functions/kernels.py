@@ -130,3 +130,74 @@ def minhash16_arrow(col) -> Column:
     (M x 16) numpy pass per Arrow batch — the hot-path choice for the
     10^12-row dedup sweep."""
     return pandas_udf(_minhash16_impl, ArrayType(LongType()))(col)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis Arrow kernel: the PRODUCTION fast path of functions/text.py
+# ---------------------------------------------------------------------------
+
+_TA_FIELDS = "lang_pred string, quality_ppm long, ws_tokens int, subword_tokens int"
+
+
+def _text_analysis_impl(text: pd.Series) -> pd.DataFrame:
+    """Vectorized twin of text.lang_id / quality_score_ppm /
+    whitespace_token_count / subword_token_count. Expression forms are
+    interpreted HOF folds (~8k docs/s at local[32], BENCH/OPS.md); this
+    pandas path vectorizes the split once per batch and runs the same
+    exact integer arithmetic. Parity is pinned per-row in
+    tests/test_text_functions.py — the expression twin stays the DuckDB
+    oracle, this is what production calls."""
+    from go_html_transform_spark.functions.text import STOPWORDS
+
+    words = text.fillna("").str.split(" ").map(
+        lambda ws: [w for w in ws if w]
+    )
+    n = words.map(len).to_numpy(dtype=np.int64)
+    n1 = np.maximum(n, 1)
+
+    lower = words.map(lambda ws: [w.lower() for w in ws])
+    hits = {
+        lang: lower.map(lambda ws, s=frozenset(sw): sum(w in s for w in ws))
+        .to_numpy(dtype=np.int64)
+        for lang, sw in STOPWORDS.items()
+    }
+    lang_pred = np.full(len(text), "unknown", dtype=object)
+    best = np.zeros(len(text), dtype=np.int64)
+    for lang in STOPWORDS:  # first language wins ties, like the Column fold
+        better = hits[lang] > best
+        lang_pred[better] = lang
+        best = np.where(better, hits[lang], best)
+
+    n_stop = hits["en"]
+    sum_len = words.map(lambda ws: sum(len(w) for w in ws)).to_numpy(dtype=np.int64)
+    n_dist = words.map(lambda ws: len(set(ws))).to_numpy(dtype=np.int64)
+    num = (
+        3 * np.minimum(n, 64) * n1
+        + 128 * n_stop
+        + 16 * np.minimum(sum_len, 8 * n1)
+        + 192 * n_dist
+    )
+    q_ppm = (num * 1_000_000 + 320 * n1) // (640 * n1)
+
+    subword = words.map(lambda ws: sum((len(w) + 3) // 4 for w in ws)).to_numpy(
+        dtype=np.int32
+    )
+    out = pd.DataFrame(
+        {
+            "lang_pred": lang_pred,
+            "quality_ppm": pd.array(q_ppm, dtype="Int64"),
+            "ws_tokens": pd.array(n.astype(np.int32), dtype="Int32"),
+            "subword_tokens": pd.array(subword, dtype="Int32"),
+        }
+    )
+    # NULL text: the expression twins return NULL for the numeric fields
+    # (lang_id alone pins 'unknown') — mirror that exactly
+    isnull = text.isna().to_numpy()
+    out.loc[isnull, ["quality_ppm", "ws_tokens", "subword_tokens"]] = pd.NA
+    return out
+
+
+def text_analysis_arrow(col) -> Column:
+    """struct<lang_pred, quality_ppm, ws_tokens, subword_tokens> computed
+    in one Arrow batch pass."""
+    return pandas_udf(_text_analysis_impl, _TA_FIELDS)(col)

@@ -156,3 +156,32 @@ def test_quality_score_ppm_matches_double_form(spark):
     ).collect()
     assert all(0 <= r.ppm <= 1_000_000 for r in one)
     assert one[0].ppm == 0
+
+
+def test_text_analysis_arrow_kernel_parity(spark):
+    """The Arrow fast path must agree per-row with the expression twins
+    (which are the DuckDB-oracle forms) on the driver corpus + dirty
+    shapes."""
+    from go_html_transform_spark.functions import kernels as K
+    from go_html_transform_spark.sources.tables import documents_tokenized
+
+    doc = documents_tokenized(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [("x0", ""), ("x1", "   "), ("x2", "the the the und und"), ("x3", None)],
+        "doc_id string, text string",
+    )
+    df = doc.unionByName(extra)
+    both = df.select(
+        "doc_id",
+        K.text_analysis_arrow(F.col("text")).alias("k"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score_ppm(F.col("text")).alias("quality_ppm"),
+        TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TX.subword_token_count(F.col("text")).alias("subword_tokens"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert r.k.lang_pred == r.lang_pred, r.doc_id
+        assert r.k.quality_ppm == r.quality_ppm, r.doc_id
+        assert r.k.ws_tokens == r.ws_tokens, r.doc_id
+        assert r.k.subword_tokens == r.subword_tokens, r.doc_id

@@ -1,0 +1,223 @@
+"""Per-operator benchmark for the training-data ops (the north-star
+bench.py measures the transform→as-of→window pipeline; this measures the
+dedup / similarity / text / layout operators) at sf0.1 on local[32].
+
+Replication policy: scan-shaped ops (signatures, text analysis, shard
+assignment, exact dedup) replicate documents x`REP` with unique doc_ids
+so throughput is measured at millions of rows. PAIR-shaped ops (LSH
+near-dup joins) run on the RAW corpus — replicating identical documents
+would square the true-duplicate pair count and measure an artifact.
+range_join / resample replicate events x`REP` entity-suffixed, like
+bench.py.
+
+Usage: python tools/bench_ops.py [sf_dir] — prints one JSON line and
+rewrites BENCH/OPS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REP = int(os.environ.get("SPARK_GRAFT_OPS_REPLICATE", "100"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from go_html_transform_spark.functions import text as TX
+    from go_html_transform_spark.operators import dedup as D
+    from go_html_transform_spark.operators import rangejoin as RJ
+    from go_html_transform_spark.operators import sharding as SH
+    from go_html_transform_spark.session import get_spark
+    from go_html_transform_spark.sources import tables as S
+
+    spark = get_spark(
+        app_name="bench-ops",
+        cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_PARTITIONS", "128")),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark.sparkContext._jvm
+
+    # --- inputs -----------------------------------------------------------
+    doc_raw = S.documents_tokenized(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    n_doc_raw = doc_raw.count()
+
+    r = spark.range(REP).select(F.col("id").alias("__rep"))
+    doc_big = (
+        doc_raw.crossJoin(F.broadcast(r))
+        .withColumn("doc_id", F.concat("doc_id", F.lit("#"), F.col("__rep")))
+        .withColumn("doc_key", F.col("doc_key") * REP + F.col("__rep"))
+        .drop("__rep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_doc_big = doc_big.count()
+
+    emb = (
+        S.load_table(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_emb = emb.count()
+
+    ev = S.load_table(spark, sf_dir, "events")
+    ev_big = (
+        ev.crossJoin(F.broadcast(r))
+        .withColumn("user_id", F.col("user_id") * REP + F.col("__rep"))
+        .drop("__rep")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+                "event_type", "value")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_ev_big = ev_big.count()
+
+    timings: dict[str, float] = {}
+    sizes: dict[str, int] = {}
+
+    def timed(name: str, n_rows: int, fn, iters: int = 3) -> None:
+        # long pair-join ops run once: a multi-minute stage amortizes JIT/
+        # GC noise by itself, and 3x would blow the harness budget
+        best = None
+        for _ in range(iters):
+            jvm.System.gc()
+            time.sleep(1)
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        sizes[name] = n_rows
+        print(f"  {name}: {best:.1f}s", file=sys.stderr)
+
+    def drain(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # --- scan-shaped (replicated corpus) ---------------------------------
+    timed("text_analysis", n_doc_big, lambda: drain(
+        doc_big.select(
+            "doc_id",
+            TX.lang_id(F.col("text")).alias("lang"),
+            TX.quality_score_ppm(F.col("text")).alias("q"),
+            TX.whitespace_token_count(F.col("text")).alias("ws"),
+            TX.subword_token_count(F.col("text")).alias("sub"),
+            TX.regex_token_count(F.col("text")).alias("re"),
+            TX.fingerprint(F.col("tokens")).alias("fp"),
+        )
+    ))
+    timed("signatures", n_doc_big, lambda: drain(
+        doc_big.select(
+            "doc_id",
+            D.minhash_signature(F.col("tokens"), 16).alias("mh"),
+            D.simhash16(F.col("tokens")).alias("sh"),
+        )
+    ))
+    # Arrow-kernel fast paths (expression forms above are the DuckDB-oracle
+    # twins; these are what production calls — parity pinned in tests)
+    from go_html_transform_spark.functions import kernels as K
+
+    timed("text_analysis_kernel", n_doc_big, lambda: drain(
+        doc_big.select("doc_id", K.text_analysis_arrow(F.col("text")).alias("ta"))
+    ))
+    timed("minhash_kernel", n_doc_big, lambda: drain(
+        doc_big.select("doc_id", K.minhash16_arrow(F.col("tokens")).alias("mh"))
+    ))
+    timed("shard_assign", n_doc_big, lambda: drain(
+        SH.assign_shards(doc_big.select("doc_id", "doc_key"), F.col("doc_key"), 1024)
+    ))
+    timed("exact_dedup", n_doc_big, lambda: drain(
+        D.exact_dedup(doc_big, "doc_id", F.col("text"))
+    ))
+
+    # --- pair-shaped (raw corpus: true near-dup structure) ----------------
+    timed("minhash_pairs", n_doc_raw, lambda: drain(
+        D.minhash_near_duplicates(doc_raw, "doc_id", threshold=0.9)
+    ), iters=1)
+    timed("simhash_pairs", n_doc_raw, lambda: drain(
+        D.simhash_near_duplicates(doc_raw, "doc_id", max_hamming=2)
+    ), iters=1)
+    timed("embedding_lsh_pairs", n_emb, lambda: drain(
+        D.embedding_lsh_near_duplicates(emb, threshold=0.4, n_planes=6, tables=2)
+    ), iters=1)
+
+    # --- temporal joins (replicated events) -------------------------------
+    clicks = (
+        ev_big.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("t_us").alias("s_us"))
+        .withColumn("e_us", F.col("s_us") + F.lit(3600 * RJ.MICROS))
+    )
+    purchases = ev_big.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us"
+    )
+    timed("range_join", n_ev_big, lambda: drain(
+        RJ.range_join(purchases, clicks, on="user_id", probe_time_us="t_us",
+                      start_us="s_us", end_us="e_us", width_us=3600 * RJ.MICROS)
+    ))
+
+    from go_html_transform_spark.operators.window import resample_ffill
+
+    obs = ev_big.select(
+        F.col("user_id").alias("doc_id"),
+        (F.col("t_us") / 1e6).cast("timestamp").alias("event_time"),
+        "value",
+    )
+    timed("resample_ffill_1h", n_ev_big, lambda: drain(
+        resample_ffill(obs, ["value"], step_seconds=3600, partition_by="doc_id")
+    ))
+
+    result = {
+        "metric": "per-operator wall seconds (min-of-3, noop sink) at sf0.1",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "replicate": REP,
+        "timings_sec": timings,
+        "input_rows": sizes,
+        "rows_per_sec": {
+            k: round(sizes[k] / v, 1) for k, v in timings.items()
+        },
+    }
+    print(json.dumps(result))
+
+    lines = [
+        "# BENCH/OPS.md — per-operator throughput (training-data ops)",
+        "",
+        f"sf0.1 corpus; scan-shaped ops replicated x{REP} with unique ids; "
+        "pair-shaped LSH joins on the raw corpus (replication would square "
+        "the true-duplicate pair count); min-of-3 (pair joins: single run), "
+        "forced GC, noop sink, local[32].",
+        "",
+        "Notes: `*_kernel` rows are the Arrow pandas-UDF fast paths — the "
+        "expression rows above them are their DuckDB-oracle twins (parity "
+        "pinned in tests); production calls the kernel. `minhash_pairs` on "
+        "THIS corpus is pathological by design: a ~30-token vocabulary "
+        "makes distinct-token sets near-identical, so LSH banding yields "
+        "~4.2M candidate pairs from 5k docs (every candidate is verified "
+        "with true Jaccard) — a real web corpus yields orders of magnitude "
+        "fewer candidates per doc; the number to read is verified pairs/s, "
+        "not docs/s.",
+        "",
+        "| operator | input rows | sec | rows/sec |",
+        "|---|---|---|---|",
+    ]
+    for k, v in timings.items():
+        lines.append(f"| {k} | {sizes[k]:,} | {v} | {sizes[k] / v:,.0f} |")
+    lines += ["", "Raw JSON:", "```json", json.dumps(result), "```", ""]
+    with open(os.path.join(REPO, "BENCH", "OPS.md"), "w") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
