@@ -467,3 +467,103 @@ def embedding_lsh_near_duplicates(
         .filter(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.round("__c", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clusters: pairs -> connected components -> keep-canonical
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(node, component) for every node appearing in the pair list, where
+    component = min node id in its connected component — hash-min label
+    propagation: every node starts labelled with itself; each round a
+    node takes the min label among itself and its neighbours; stop at
+    fixpoint. Rounds needed = graph diameter (near-dup clusters are
+    small-diameter; a chain of D docs needs D rounds, capped by
+    max_iters with a loud failure rather than a silent wrong answer).
+
+    Scale shape: one edge-to-label equi-join + one groupBy-min per round
+    over the PAIR set (orders of magnitude smaller than the corpus);
+    labels persist round-to-round, and convergence is checked with a
+    changed-row count — no driver-side graph materialization ever."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist): each round's plan would otherwise
+    # NEST every previous round's joins — lineage grows exponentially and
+    # the planner itself OOMs after ~10 rounds. Checkpointing truncates
+    # the logical plan to the materialized result, keeping per-round
+    # planning cost constant (the standard iterative-algorithm discipline
+    # on Spark).
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the cap) — raise max_iters"
+        )
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the canonical (min-id) member of
+    its cluster: the terminal step of the near-dedup pipeline
+    (signatures -> LSH candidate pairs -> verified pairs -> components ->
+    keep one). Rows never mentioned in `pairs` pass through untouched —
+    the component join is an anti-join against the (small) non-canonical
+    node set, so the corpus is scanned once and never shuffled on its
+    payload."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == losers["__loser"], "left_anti"
+    )

@@ -357,3 +357,68 @@ def test_different_seed_different_permutation(spark):
     p7 = [r.k for r in SH.deterministic_shuffle(df, F.col("k"), seed=7).collect()]
     p8 = [r.k for r in SH.deterministic_shuffle(df, F.col("k"), seed=8).collect()]
     assert p7 != p8
+
+
+# --- connected components / keep-canonical near-dedup -----------------------
+
+
+def test_connected_components_vs_union_find(spark):
+    """Hash-min label propagation vs a python union-find on an
+    adversarial graph: long chain (diameter stress), triangle, star,
+    isolated pair, two components sharing no nodes."""
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(12)]          # 13-node chain
+        + [("t0", "t1"), ("t1", "t2"), ("t0", "t2")]       # triangle
+        + [("s0", s) for s in ("s1", "s2", "s3", "s4")]    # star
+        + [("p0", "p1")]                                   # isolated pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r.node: r.component
+        for r in D.connected_components(pairs).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # canonicalize both sides to min-of-component
+    def canon(lbl):
+        groups = {}
+        for n, c in lbl.items():
+            groups.setdefault(c, set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+    assert canon(got) == canon(want)
+    # hash-min labels are specifically the MIN id of each component
+    assert got["c5"] == "c0" and got["t2"] == "t0" and got["s3"] == "s0"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(8)], "id_a string, id_b string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iters=2)
+
+
+def test_near_dedup_keep_canonical_end_to_end(spark, corpus):
+    """Full near-dedup: signatures -> LSH pairs -> components -> keep one.
+    On the fixture corpus d0/d1 are exact dups and d2 is a near-dup of
+    d0, so {d0,d1,d2} form one cluster -> keep d0; d3/d4 untouched."""
+    pairs = D.minhash_near_duplicates(corpus, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    kept = D.near_dedup_keep_canonical(corpus, pairs, "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {"d0", "d3", "d4"}
