@@ -1,0 +1,90 @@
+"""End-to-end training-corpus preparation (plans/prepare.py).
+
+Checks the composed pipeline against an independent recomputation from
+its already-oracle-checked building blocks, the sink layout, and the
+single-execution discipline (no stage runs more than its consumer count
+requires)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import sharding as SH
+from go_html_transform_spark.plans.prepare import (
+    prepare_training_corpus,
+    release_training_corpus,
+)
+from go_html_transform_spark.sources import tables as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PARAMS = dict(min_quality_ppm=250_000, lang=None, jaccard_threshold=0.85)
+
+
+@pytest.fixture(scope="module")
+def prepared(spark):
+    df, stats = prepare_training_corpus(spark, SF_DIR, n_shards=16, **PARAMS)
+    yield df, stats
+    release_training_corpus(df)
+
+
+def _expected_ids(spark):
+    doc = S.documents_tokenized(spark, SF_DIR)
+    kept = doc.filter(
+        TX.quality_score_ppm(F.col("text")) >= PARAMS["min_quality_ppm"]
+    )
+    exact = D.exact_dedup(kept, "doc_id", F.col("text"))
+    pairs = D.minhash_near_duplicates(
+        exact, "doc_id", threshold=PARAMS["jaccard_threshold"]
+    ).select("id_a", "id_b")
+    final = D.near_dedup_keep_canonical(exact, pairs, "doc_id")
+    return {r.doc_id for r in final.select("doc_id").collect()}
+
+
+def test_prepare_matches_composed_stages(spark, prepared):
+    df, stats = prepared
+    got = {r.doc_id for r in df.select("doc_id").collect()}
+    assert got == _expected_ids(spark)
+    assert stats["input"] >= stats["after_quality_lang_filter"]
+    assert stats["after_quality_lang_filter"] >= stats["after_exact_dedup"]
+    assert stats["after_exact_dedup"] >= stats["after_near_dedup"]
+    assert stats["after_near_dedup"] == len(got) > 0
+
+
+def test_prepare_shards_are_stable_and_in_range(spark, prepared):
+    df, _ = prepared
+    rows = df.select("doc_key", "shard").collect()
+    assert all(0 <= r.shard < 16 for r in rows)
+    # shard depends only on (key, seed) — recompute independently
+    for r in rows[:50]:
+        assert r.shard == SH.shuffle_hash_py(r.doc_key) % 16
+
+
+def test_prepare_sink_partitioned_by_shard(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    df, stats = prepare_training_corpus(
+        spark, SF_DIR, out_dir=out, n_shards=8, collect_stats=False, **PARAMS
+    )
+    assert stats == {}  # production mode: no extra corpus passes
+    back = spark.read.parquet(out)
+    assert {r.shard for r in back.select("shard").distinct().collect()} <= set(
+        range(8)
+    )
+    assert back.count() == df.count()
+
+
+def test_prepare_release_unpins_exactly_what_it_persisted(spark):
+    df, _ = prepare_training_corpus(
+        spark, SF_DIR, n_shards=4, collect_stats=False, **PARAMS
+    )
+    pinned = df._prepare_persisted
+    # production mode pins only the doubly-consumed exact-dedup stage
+    assert len(pinned) == 1
+    assert all(p.storageLevel.useMemory or p.storageLevel.useDisk for p in pinned)
+    release_training_corpus(df)
+    assert all(
+        not (p.storageLevel.useMemory or p.storageLevel.useDisk) for p in pinned
+    )
