@@ -1,9 +1,10 @@
 """The end-to-end training-corpus preparation pipeline — the composition
 every individual operator in this engine exists to serve:
 
-    score (lang-id, quality) -> filter -> exact dedup -> near-dup
-    removal (MinHash-LSH pairs -> connected components -> keep
-    canonical) -> deterministic shard assignment -> partitioned sink
+    score (lang-id, quality) -> filter -> [benchmark decontamination] ->
+    exact dedup -> near-dup removal (MinHash-LSH pairs -> connected
+    components -> keep canonical) -> [source mixing] -> deterministic
+    shard assignment -> [sequence packing] -> partitioned sink
 
 Everything is the already-oracle-checked operators from functions/text.py,
 operators/dedup.py and operators/sharding.py wired in their intended
@@ -27,7 +28,10 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.operators import decontaminate as DC
 from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import packing as PK
+from go_html_transform_spark.operators import sampling as SA
 from go_html_transform_spark.operators import sharding as SH
 from go_html_transform_spark.sources import tables as S
 
@@ -41,6 +45,10 @@ def prepare_training_corpus(
     jaccard_threshold: float = 0.9,
     n_shards: int = 64,
     collect_stats: bool = True,
+    eval_df: DataFrame | None = None,
+    decontaminate_ngram: int = 13,
+    mix_weights: dict[str, float] | None = None,
+    pack_context_len: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (prepared DataFrame, stage-by-stage stats). Writes a
     shard-partitioned parquet corpus when ``out_dir`` is given (the
@@ -52,6 +60,17 @@ def prepare_training_corpus(
     production mode: one job, no extra corpus passes. With stats on, the
     filtered corpus is persisted once (DISK-spillable) so the exact-dedup
     stage and its count share a scan, and the deduped survivors likewise.
+
+    Optional stages (each a no-op when unset):
+
+    * ``eval_df`` — benchmark decontamination before dedup (broadcast
+      n-gram anti-join, operators/decontaminate.py; ``decontaminate_ngram``
+      sets n).
+    * ``mix_weights`` — target source proportions; per-source keep rates
+      are derived from the post-dedup counts (one tiny agg) and applied
+      as a deterministic stratified sample (operators/sampling.py).
+    * ``pack_context_len`` — append (tok_before, pack_id, pack_offset):
+      the shard-local concat-and-chunk placement (operators/packing.py).
     """
     doc = S.documents_tokenized(spark, sf_dir)
     stats: dict[str, int] = {}
@@ -69,6 +88,13 @@ def prepare_training_corpus(
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(kept)
         stats["after_quality_lang_filter"] = kept.count()
+
+    if eval_df is not None:
+        kept = DC.decontaminate(
+            kept, eval_df, "doc_id", n=decontaminate_ngram, mode="drop"
+        )
+        if collect_stats:
+            stats["after_decontaminate"] = kept.count()
 
     exact = D.exact_dedup(kept, "doc_id", F.col("text"))
     # `exact` always has two consumers (LSH signatures + the final
@@ -92,7 +118,28 @@ def prepare_training_corpus(
     if collect_stats:
         stats["after_near_dedup"] = deduped.count()
 
+    if mix_weights is not None:
+        # two consumers (the rate-deriving counts + the final corpus)
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(deduped)
+        counts = {
+            r["source"]: r["n"]
+            for r in deduped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rates = SA.mix_weights_to_rates(counts, mix_weights)
+        deduped = SA.stratified_sample(
+            deduped, F.col("doc_key"), "source", rates, default_ppm=0
+        )
+        if collect_stats:
+            stats["after_mixing"] = deduped.count()
+
     prepared = SH.assign_shards(deduped, F.col("doc_key"), n_shards)
+    if pack_context_len is not None:
+        prepared = PK.pack_assign(
+            prepared, F.col("doc_key"), "n_tok", pack_context_len
+        )
 
     if out_dir is not None:
         prepared.write.mode("overwrite").partitionBy("shard").parquet(out_dir)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import sampling as SAM
 from go_html_transform_spark.operators import sharding as SH
 from go_html_transform_spark.plans.registry import _cte, register
 from go_html_transform_spark.sources import tables as S
@@ -99,7 +100,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                {D.simhash16_sql('tokens')} AS simhash,
                len({D.shingles3_sql('tokens')}) AS n_shingles,
                len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct,
-               {SH.assign_shards_sql('doc_key', 64, seed=0)} AS shard
+               {SH.assign_shards_sql('doc_key', 64, seed=0)} AS shard,
+               {SAM.sample_flag_sql('doc_key', 250000, seed=7)} AS sample_keep
         FROM doc
         """
     ),
@@ -112,6 +114,9 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     * simhash — 16-bit SimHash (pure bit arithmetic)
     * shard — deterministic affine shard id (operators/sharding.py):
       stable under any partitioning/order, the resumable output-layout key
+    * sample_keep — seeded deterministic Bernoulli keep decision at 25%
+      (operators/sampling.py): partition/retry/rerun-independent corpus
+      downsampling, the source-mixing building block
     * n_shingles / n_distinct — packed 3-gram shingle stats, the n-gram
       Jaccard building block (pairs path exercised in tests; shingle
       sets here are near-unique so pair queries would be vacuous at
@@ -129,6 +134,9 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.simhash16(F.col("tokens")).alias("simhash"),
             F.size(sh).alias("n_shingles"),
             F.size(F.array_distinct(sh)).alias("n_distinct"),
+            SAM.sample_flag(F.col("doc_key"), 250_000, seed=7).alias(
+                "sample_keep"
+            ),
         ),
         F.col("doc_key"),
         n_shards=64,

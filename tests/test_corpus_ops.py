@@ -1,0 +1,360 @@
+"""Corpus-composition operators: deterministic sampling / source mixing
+(operators/sampling.py), sequence packing (operators/packing.py), and
+benchmark decontamination (operators/decontaminate.py).
+
+Each op is checked three ways where applicable: semantic unit tests,
+layout-independence (repartition/shuffle must not change any decision),
+and strict DuckDB parity through the driver's dtype-sensitive pandas
+path (the _strict pattern of tests/test_oracle_fuzz.py)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import decontaminate as DC
+from go_html_transform_spark.operators import packing as PK
+from go_html_transform_spark.operators import sampling as SA
+from go_html_transform_spark.operators.sharding import assign_shards, assign_shards_sql
+
+SEED = 20260817
+
+
+def _strict(df, duck_rows, key="id"):
+    got = df.toPandas().sort_values(key).reset_index(drop=True)
+    want = duck_rows.df().sort_values(key).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a = [str(x) for x in got[c].tolist()]
+        b = [str(x) for x in want[c].tolist()]
+        assert a == b, (c, [(x, y) for x, y in zip(a, b) if x != y][:5])
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _doc_rows(n=400):
+    rng = random.Random(SEED)
+    sources = ["web", "wiki", "code"]
+    return [
+        (
+            i,
+            sources[rng.randrange(3)],
+            [rng.randrange(1024) for _ in range(rng.randrange(0, 40))],
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, duck):
+    rows = _doc_rows()
+    df = spark.createDataFrame(
+        [(i, s, t, len(t)) for i, s, t in rows],
+        "id long, source string, tokens array<int>, n_tok int",
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE corpus (id BIGINT, source VARCHAR,"
+        " tokens INTEGER[], n_tok INTEGER)"
+    )
+    duck.executemany(
+        "INSERT INTO corpus VALUES (?, ?, ?, ?)",
+        [(i, s, t, len(t)) for i, s, t in rows],
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_rate_and_determinism(spark, corpus):
+    kept = SA.sample_deterministic(corpus, F.col("id"), 250_000, seed=3)
+    ids1 = {r.id for r in kept.select("id").collect()}
+    # layout independence: decisions survive any repartition
+    ids2 = {
+        r.id
+        for r in SA.sample_deterministic(
+            corpus.repartition(13), F.col("id"), 250_000, seed=3
+        )
+        .select("id")
+        .collect()
+    }
+    assert ids1 == ids2
+    assert 0.15 < len(ids1) / 400 < 0.35  # ~25% +- sampling noise
+    # monotone in rate: raising the rate only adds rows
+    more = {
+        r.id
+        for r in SA.sample_deterministic(corpus, F.col("id"), 500_000, seed=3)
+        .select("id")
+        .collect()
+    }
+    assert ids1 <= more
+    # different seed -> different (overlapping ~ rate^2) subset
+    other = {
+        r.id
+        for r in SA.sample_deterministic(corpus, F.col("id"), 250_000, seed=4)
+        .select("id")
+        .collect()
+    }
+    assert ids1 != other
+
+
+def test_sample_flag_duckdb_parity(spark, corpus, duck):
+    eng = corpus.select(
+        "id", SA.sample_flag(F.col("id"), 123_456, seed=9).alias("keep")
+    )
+    ora = duck.sql(
+        f"SELECT id, {SA.sample_flag_sql('id', 123_456, seed=9)} AS keep"
+        " FROM corpus ORDER BY id"
+    )
+    _strict(eng, ora)
+
+
+def test_stratified_sample_parity_and_rates(spark, corpus, duck):
+    rates = {"web": 100_000, "wiki": 1_000_000, "code": 0}
+    kept = SA.stratified_sample(corpus, F.col("id"), "source", rates, seed=5)
+    got = {(r.id, r.source) for r in kept.select("id", "source").collect()}
+    assert all(s != "code" for _, s in got)
+    n_wiki = sum(1 for r in corpus.collect() if r.source == "wiki")
+    assert sum(1 for _, s in got if s == "wiki") == n_wiki  # rate 1.0 keeps all
+    pred = SA.stratified_sample_sql("id", "source", rates, seed=5)
+    ora = duck.sql(
+        f"SELECT id, source FROM corpus WHERE {pred} ORDER BY id"
+    )
+    _strict(kept.select("id", "source"), ora)
+
+
+def test_sample_flag_production_rate(spark):
+    # xxhash64 path: rate honored on a key range (no P-residue classes)
+    df = spark.range(0, 20_000)
+    kept = df.filter(SA.sample_flag_production(F.col("id"), 100_000, seed=1))
+    frac = kept.count() / 20_000
+    assert 0.08 < frac < 0.12
+
+
+def test_mix_weights_to_rates():
+    counts = {"web": 1000, "code": 100, "wiki": 100}
+    rates = SA.mix_weights_to_rates(counts, {"web": 0.5, "code": 0.3, "wiki": 0.2})
+    # scarcest-relative stratum (code: 100/0.3) binds -> keeps 100%
+    assert rates["code"] == SA.PPM
+    # web trimmed to (100/0.3)*0.5/1000
+    assert abs(rates["web"] - round(100 / 0.3 * 0.5 / 1000 * SA.PPM)) <= 1
+    assert rates["wiki"] == round(100 / 0.3 * 0.2 / 100 * SA.PPM)
+    # zero-weight and missing strata keep nothing
+    assert SA.mix_weights_to_rates(counts, {"web": 0, "code": 1})["web"] == 0
+    assert SA.mix_weights_to_rates({}, {"web": 1}) == {"web": 0}
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+CTX = 64
+
+
+@pytest.fixture(scope="module")
+def packed(spark, corpus):
+    sharded = assign_shards(corpus, F.col("id"), 4)
+    return PK.pack_assign(sharded, F.col("id"), "n_tok", CTX), sharded
+
+
+def test_pack_assign_is_gapless_per_shard(packed):
+    assigned, _ = packed
+    rows = assigned.collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.tok_before)
+        expect = 0
+        for r in docs:
+            # head-to-tail: no gaps, no overlaps
+            assert r.tok_before == expect
+            assert r.pack_id == r.tok_before // CTX
+            assert r.pack_offset == r.tok_before % CTX
+            expect += r.n_tok
+
+
+def test_pack_assign_layout_independent(spark, packed):
+    assigned, sharded = packed
+    again = PK.pack_assign(
+        sharded.repartition(17), F.col("id"), "n_tok", CTX
+    )
+    a = {(r.id, r.pack_id, r.pack_offset) for r in assigned.collect()}
+    b = {(r.id, r.pack_id, r.pack_offset) for r in again.collect()}
+    assert a == b
+
+
+def test_pack_chunks_cover_documents_exactly(packed):
+    assigned, _ = packed
+    chunks = PK.pack_chunks(assigned, "n_tok", CTX).collect()
+    per_doc: dict[int, list] = {}
+    for c in chunks:
+        assert 0 <= c.doc_begin < c.doc_end <= c.n_tok
+        assert 0 <= c.pack_begin < CTX
+        # chunk fits inside its pack
+        assert c.pack_begin + (c.doc_end - c.doc_begin) <= CTX
+        per_doc.setdefault(c.id, []).append(c)
+    docs = {r.id: r for r in assigned.collect()}
+    for doc_id, r in docs.items():
+        cs = sorted(per_doc.get(doc_id, []), key=lambda c: c.doc_begin)
+        if r.n_tok == 0:
+            assert cs == []
+            continue
+        # chunks tile [0, n_tok) without gap or overlap
+        assert cs[0].doc_begin == 0 and cs[-1].doc_end == r.n_tok
+        for prev, nxt in zip(cs, cs[1:]):
+            assert prev.doc_end == nxt.doc_begin
+            # successive chunks land in successive packs starting at 0
+            assert nxt.pack_begin == 0
+        # every pack slot [pack_id*CTX + pack_begin + len) is consistent
+        # with the document's global placement
+        for c in cs:
+            assert c.pack_id * CTX + c.pack_begin == r.tok_before + c.doc_begin
+
+
+def test_pack_full_packs_have_no_holes(packed):
+    """Every pack except the last of each shard is filled to CTX."""
+    assigned, _ = packed
+    chunks = PK.pack_chunks(assigned, "n_tok", CTX)
+    fill = (
+        chunks.groupBy("shard", "pack_id")
+        .agg(F.sum(F.col("doc_end") - F.col("doc_begin")).alias("filled"))
+        .collect()
+    )
+    by_shard: dict[int, dict[int, int]] = {}
+    for r in fill:
+        by_shard.setdefault(r.shard, {})[r.pack_id] = r.filled
+    for shard, packs in by_shard.items():
+        last = max(packs)
+        assert set(packs) == set(range(last + 1))  # contiguous pack ids
+        for pid, filled in packs.items():
+            assert filled == CTX if pid < last else filled <= CTX
+
+
+def test_pack_assign_duckdb_parity(spark, corpus, duck):
+    sharded = assign_shards(corpus, F.col("id"), 4)
+    eng = PK.pack_assign(sharded, F.col("id"), "n_tok", CTX).select(
+        "id", "tok_before", "pack_id", "pack_offset"
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE doc AS SELECT *, "
+        + assign_shards_sql("id", 4)
+        + " AS shard FROM corpus"
+    )
+    ora = duck.sql(
+        "SELECT id, tok_before, pack_id, pack_offset FROM ("
+        + PK.pack_assign_sql("id", "n_tok", CTX)
+        + ") ORDER BY id"
+    )
+    _strict(eng, ora)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+NGRAM = 5
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark, corpus):
+    # eval set = 20 excerpts of corpus docs (guaranteed contamination)
+    # + 20 fresh random docs (guaranteed novel n-grams)
+    rng = random.Random(SEED + 1)
+    rows = _doc_rows()
+    excerpts = []
+    long_docs = [r for r in rows if len(r[2]) >= NGRAM + 4]
+    for i in range(20):
+        _, _, toks = long_docs[rng.randrange(len(long_docs))]
+        s = rng.randrange(0, len(toks) - NGRAM)
+        excerpts.append((1000 + i, toks[s : s + NGRAM + 3]))
+    fresh = [
+        (2000 + i, [rng.randrange(1024, 4096) for _ in range(NGRAM + 5)])
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        excerpts + fresh, "id long, tokens array<int>"
+    )
+
+
+def test_ngram_hashes_duckdb_parity(spark, corpus, duck):
+    eng = corpus.select(
+        "id",
+        F.concat_ws(",", DC.ngram_hashes(F.col("tokens"), NGRAM)).alias("ng"),
+    )
+    # DuckDB array_to_string([]) is NULL where Spark concat_ws gives ''
+    ora = duck.sql(
+        "SELECT id, COALESCE(array_to_string("
+        f"{DC.ngram_hashes_sql('tokens', NGRAM)}, ','), '')"
+        " AS ng FROM corpus ORDER BY id"
+    )
+    _strict(eng, ora)
+
+
+def test_ngram_hashes_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5]), (2, [5, 4, 3, 2, 1])],
+        "id long, tokens array<int>",
+    )
+    h = {
+        r.id: r.ng
+        for r in df.select(
+            "id", DC.ngram_hashes(F.col("tokens"), NGRAM)[0].alias("ng")
+        ).collect()
+    }
+    assert h[1] != h[2]
+
+
+def test_decontaminate_drops_exactly_overlapping_docs(spark, corpus, eval_set):
+    flagged = DC.decontaminate(
+        corpus, eval_set, "id", n=NGRAM, mode="flag"
+    )
+    rows = {r.id: r.contaminated for r in flagged.collect()}
+    # independent oracle: python set intersection on raw n-grams
+    eval_ngrams = set()
+    for r in eval_set.collect():
+        t = r.tokens
+        for i in range(len(t) - NGRAM + 1):
+            eval_ngrams.add(tuple(t[i : i + NGRAM]))
+    for r in corpus.collect():
+        t = r.tokens
+        doc_ngrams = {
+            tuple(t[i : i + NGRAM]) for i in range(len(t) - NGRAM + 1)
+        }
+        assert rows[r.id] == bool(doc_ngrams & eval_ngrams), r.id
+    # drop mode = flag mode's clean rows
+    dropped = DC.decontaminate(corpus, eval_set, "id", n=NGRAM, mode="drop")
+    assert {r.id for r in dropped.select("id").collect()} == {
+        i for i, c in rows.items() if not c
+    }
+    # some contamination and some survivors, or the test is vacuous
+    assert any(rows.values()) and not all(rows.values())
+
+
+def test_contamination_counts(spark, corpus, eval_set):
+    counts = {
+        r.id: r.n_contaminated
+        for r in DC.contamination_counts(
+            corpus, eval_set, "id", n=NGRAM
+        ).collect()
+    }
+    assert counts and all(v >= 1 for v in counts.values())
+
+
+def test_decontaminate_no_corpus_exchange(spark, corpus, eval_set):
+    """The corpus side must reach the semi/anti joins without an
+    Exchange: eval set broadcasts, corpus never shuffles."""
+    plan = DC.decontaminate(
+        corpus, eval_set, "id", n=NGRAM, mode="drop"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -76,6 +76,40 @@ def test_prepare_sink_partitioned_by_shard(spark, tmp_path):
     assert back.count() == df.count()
 
 
+def test_prepare_full_recipe_with_optional_stages(spark):
+    """Decontamination + source mixing + packing, end to end."""
+    doc = S.documents_tokenized(spark, SF_DIR)
+    # eval set: token slices of 3 documents that survive the quality
+    # filter (so decontamination provably removes something)
+    ev = (
+        doc.filter(
+            (F.col("n_tok") >= 8)
+            & (TX.quality_score_ppm(F.col("text")) >= PARAMS["min_quality_ppm"])
+        )
+        .limit(3)
+        .select(F.col("doc_key").alias("id"), F.slice("tokens", 1, 8).alias("tokens"))
+    )
+    df, stats = prepare_training_corpus(
+        spark,
+        SF_DIR,
+        n_shards=8,
+        eval_df=ev,
+        decontaminate_ngram=8,
+        mix_weights={"src0": 0.6, "src1": 0.4},
+        pack_context_len=128,
+        **PARAMS,
+    )
+    rows = df.collect()
+    release_training_corpus(df)
+    assert stats["after_decontaminate"] < stats["after_quality_lang_filter"]
+    assert stats["after_mixing"] <= stats["after_near_dedup"]
+    srcs = {r.source for r in rows}
+    assert srcs <= {"src0", "src1"} and rows  # default_ppm=0 drops the rest
+    for r in rows[:50]:
+        assert r.pack_id == r.tok_before // 128
+        assert r.pack_offset == r.tok_before % 128
+
+
 def test_prepare_release_unpins_exactly_what_it_persisted(spark):
     df, _ = prepare_training_corpus(
         spark, SF_DIR, n_shards=4, collect_stats=False, **PARAMS
