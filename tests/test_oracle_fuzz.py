@@ -83,6 +83,36 @@ def test_token_signature_twins_random_corpus(spark, duck):
     _strict(eng, ora)
 
 
+def test_ngram_and_sampling_twins_dirty_corpus(spark, duck):
+    """Decontamination n-gram hashes + sampling keep flags on the dirty
+    corpus (empty / NULL-element / whole-NULL arrays): Spark empty-array
+    vs DuckDB-NULL concat divergence is normalized with COALESCE on the
+    oracle side only (concat_ws('')=='' is the engine contract)."""
+    from go_html_transform_spark.operators import decontaminate as DC
+    from go_html_transform_spark.operators import sampling as SA
+
+    rows = _token_corpus()
+    df = spark.createDataFrame(rows, "id long, tokens array<int>")
+    duck.execute("CREATE OR REPLACE TABLE ncorp (id BIGINT, tokens INTEGER[])")
+    duck.executemany("INSERT INTO ncorp VALUES (?, ?)", rows)
+
+    eng = df.select(
+        "id",
+        F.concat_ws(",", DC.ngram_hashes(F.col("tokens"), 4)).alias("ng4"),
+        SA.sample_flag(F.col("id"), 100_000, seed=2).alias("keep"),
+    )
+    ora = duck.sql(
+        f"""
+        SELECT id,
+               COALESCE(array_to_string({DC.ngram_hashes_sql('tokens', 4)}, ','), '')
+                 AS ng4,
+               {SA.sample_flag_sql('id', 100_000, seed=2)} AS keep
+        FROM ncorp ORDER BY id
+        """
+    )
+    _strict(eng, ora)
+
+
 def test_lsh_and_shard_twins_random_vectors(spark, duck):
     rng = random.Random(SEED + 1)
     rows = [

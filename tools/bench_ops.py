@@ -142,6 +142,34 @@ def main() -> None:
         D.exact_dedup(doc_big, "doc_id", F.col("text"))
     ))
 
+    # --- corpus-composition ops ------------------------------------------
+    from go_html_transform_spark.operators import decontaminate as DC
+    from go_html_transform_spark.operators import packing as PK
+    from go_html_transform_spark.operators import sampling as SA
+
+    timed("sample_flag", n_doc_big, lambda: drain(
+        SA.sample_deterministic(
+            doc_big.select("doc_id", "doc_key"), F.col("doc_key"), 250_000
+        )
+    ))
+    sharded = SH.assign_shards(doc_big, F.col("doc_key"), 1024).select(
+        "doc_id", "doc_key", "n_tok", "shard"
+    )
+    timed("pack_assign", n_doc_big, lambda: drain(
+        PK.pack_assign(sharded, F.col("doc_key"), "n_tok", 2048)
+    ))
+    # eval set: 200 slices of real documents (13-gram hits exist)
+    ev_set = (
+        doc_raw.filter(F.col("n_tok") >= 16)
+        .limit(200)
+        .select(F.col("doc_key").alias("id"), F.slice("tokens", 1, 16).alias("tokens"))
+    )
+    timed("decontaminate_drop", n_doc_big, lambda: drain(
+        DC.decontaminate(
+            doc_big.select("doc_id", "tokens"), ev_set, "doc_id", n=13
+        )
+    ))
+
     # --- pair-shaped (raw corpus: true near-dup structure) ----------------
     timed("minhash_pairs", n_doc_raw, lambda: drain(
         D.minhash_near_duplicates(doc_raw, "doc_id", threshold=0.9)
@@ -177,6 +205,21 @@ def main() -> None:
     timed("resample_ffill_1h", n_ev_big, lambda: drain(
         resample_ffill(obs, ["value"], step_seconds=3600, partition_by="doc_id")
     ))
+
+    # --- end-to-end corpus preparation (raw corpus: the near-dup stage's
+    # pair structure is corpus-shaped, see replication policy note) -------
+    from go_html_transform_spark.plans.prepare import prepare_training_corpus
+
+    def run_prepare() -> None:
+        out, _ = prepare_training_corpus(
+            spark, sf_dir, min_quality_ppm=300_000, lang=None,
+            jaccard_threshold=0.9, n_shards=64, collect_stats=False,
+        )
+        drain(out)
+        for p in getattr(out, "_prepare_persisted", []):
+            p.unpersist()
+
+    timed("prepare_corpus", n_doc_raw, run_prepare, iters=1)
 
     result = {
         "metric": "per-operator wall seconds (min-of-3, noop sink) at sf0.1",
