@@ -21,7 +21,7 @@ fixed below — expressible identically in DuckDB for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -504,16 +504,24 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in the pair list, where
     component = min node id in its connected component — hash-min label
-    propagation: every node starts labelled with itself; each round a
-    node takes the min label among itself and its neighbours; stop at
-    fixpoint. Rounds needed = graph diameter (near-dup clusters are
-    small-diameter; a chain of D docs needs D rounds, capped by
-    max_iters with a loud failure rather than a silent wrong answer).
+    propagation with pointer jumping: every node starts labelled with
+    itself; each round a node takes the min label among itself and its
+    neighbours, then jumps through its new label's PREVIOUS-round label
+    (component := min(component, label-of(component))). The jump roughly
+    doubles how far the cluster minimum has propagated each round, so
+    rounds needed = O(log diameter) instead of O(diameter) — a chain of
+    1000 near-identical docs (templated boilerplate, the adversarial
+    shape for near-dup graphs) converges in ~10 rounds, not 1000
+    (capped by max_iters with a loud failure rather than a silent wrong
+    answer; 30 rounds covers diameter ~2^30).
 
-    Scale shape: one edge-to-label equi-join + one groupBy-min per round
-    over the PAIR set (orders of magnitude smaller than the corpus);
-    labels persist round-to-round, and convergence is checked with a
-    changed-row count — no driver-side graph materialization ever."""
+    Scale shape: one edge-to-label equi-join + one groupBy-min + one
+    label-to-label equi-join per round over the PAIR set (orders of
+    magnitude smaller than the corpus); labels persist round-to-round,
+    both joins read only MATERIALIZED frames (no recompute), and
+    convergence is read from an Observation on the same job that
+    materializes the round — no extra comparison join, no driver-side
+    graph materialization ever."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -540,24 +548,43 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("__mid"),
+        )
+        # pointer jump through the PREVIOUS round's (materialized) labels:
+        # every label value is itself a node id present in `labels`, so
+        # the left join always hits; jumping via the old table keeps each
+        # round a single pass over materialized inputs.
+        parents = labels.select(
+            F.col("node").alias("__p_node"), F.col("component").alias("__p_comp")
+        )
+        obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            stepped.join(parents, stepped["__mid"] == parents["__p_node"], "left")
             .select(
                 "node",
+                "__old",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("__mid"), F.coalesce(F.col("__p_comp"), F.col("__mid"))
                 ).alias("component"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             break
     else:
         raise RuntimeError(

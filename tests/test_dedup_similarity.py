@@ -403,6 +403,19 @@ def test_connected_components_vs_union_find(spark):
     assert got["c5"] == "c0" and got["t2"] == "t0" and got["s3"] == "s0"
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """A 201-node chain (the templated-boilerplate adversarial shape)
+    converges inside the default round cap: pointer jumping reaches
+    distance 2^t - 1 after t rounds, so diameter 200 needs ~9 rounds —
+    plain hash-min would need 200 and blow the max_iters=30 cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert len(got) == 201
+    assert set(got.values()) == {0}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(f"c{i}", f"c{i+1}") for i in range(8)], "id_a string, id_b string"
