@@ -1,0 +1,274 @@
+"""Corpus-statistics sketch layer: token frequencies, document
+frequencies, heavy hitters, adjacent-bigram counts, sequence-length
+histogram, and a count-min sketch.
+
+Training-data curation needs corpus-level token statistics — vocabulary
+building for tokenizer training, boilerplate / heavy-hitter detection,
+PMI-style phrase mining over bigram counts, and length histograms for
+packing/batching decisions. The reference engine's analogue is its
+vocabulary dimension (SURVEY.md §2.12, css/tokenizer contract): these
+operators build that dimension FROM the corpus itself at scale.
+
+Design for 10^12 rows:
+
+* every operator is explode -> groupBy with map-side partial
+  aggregation, so per-partition hash-agg state is bounded by the
+  DISTINCT key count (vocab for unigrams, vocab^2 worst-case for
+  bigrams, depth*width for the sketch) — NOT by row count. The single
+  shuffle moves only the partially-aggregated groups.
+* the count-min sketch is the sub-vocabulary-memory path: its shuffle
+  and final state are exactly depth*width cells regardless of corpus or
+  vocabulary size, and merging two sketches is cell-wise addition (the
+  groupBy does it for free), so sketches compose across partitions,
+  days, or shards.
+* heavy hitters use orderBy(...).limit(k) which Spark plans as
+  TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+  driver, never a global sort.
+* hashes reuse the affine family (a*t + b) mod P from operators/dedup
+  — expressible identically in DuckDB for the oracle.
+
+NULL-element contract (pinned by the oracle fuzz harness,
+tests/test_oracle_fuzz.py): NULL tokens are dropped before counting on
+BOTH engines — Spark null-filters explicitly; DuckDB's list_filter twin
+does the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators.dedup import MINHASH_P, h_sql, _h
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _tokens_nonnull(tokens: Column | str) -> Column:
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.filter(col, lambda t: t.isNotNull())
+
+
+def tokens_nonnull_sql(tokens: str = "tokens") -> str:
+    return f"list_filter({tokens}, t -> t IS NOT NULL)"
+
+
+# ---------------------------------------------------------------------------
+# exact token statistics
+# ---------------------------------------------------------------------------
+
+
+def token_frequencies(df: DataFrame, tokens: str = "tokens") -> DataFrame:
+    """(token, tf): corpus-wide occurrence counts.
+
+    One explode + one shuffle; partial aggregation caps the exchanged
+    rows at |vocab| per map partition, so the shuffle is O(vocab), not
+    O(corpus)."""
+    return (
+        df.select(F.explode(_tokens_nonnull(tokens)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def token_frequencies_sql(rel: str = "seq", tokens: str = "tokens") -> str:
+    return f"""
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {rel}, unnest({tokens_nonnull_sql(tokens)}) AS u(t)
+        GROUP BY 1
+    """
+
+
+def document_frequencies(df: DataFrame, tokens: str = "tokens") -> DataFrame:
+    """(token, df): number of rows whose token array contains the token.
+
+    Per-row ``array_distinct`` BEFORE the explode keeps the distinct-ing
+    row-local (pure Column arithmetic, no extra shuffle) — the groupBy
+    then counts rows, not occurrences."""
+    return (
+        df.select(
+            F.explode(F.array_distinct(_tokens_nonnull(tokens))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def document_frequencies_sql(rel: str = "seq", tokens: str = "tokens") -> str:
+    # DuckDB list_distinct also drops NULLs; the explicit filter keeps the
+    # two engines' null contract aligned rather than incidental.
+    return f"""
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM {rel}, unnest(list_distinct({tokens_nonnull_sql(tokens)})) AS u(t)
+        GROUP BY 1
+    """
+
+
+def heavy_hitters(df: DataFrame, k: int, tokens: str = "tokens") -> DataFrame:
+    """Top-k tokens by frequency, deterministic tie-break on token id.
+
+    Plans as TakeOrderedAndProject over the vocab-bounded frequency
+    table — no global sort."""
+    return token_frequencies(df, tokens).orderBy(
+        F.desc("tf"), F.asc("token")
+    ).limit(k)
+
+
+def heavy_hitters_sql(k: int, rel: str = "seq", tokens: str = "tokens") -> str:
+    return f"""
+        SELECT token, tf FROM ({token_frequencies_sql(rel, tokens)})
+        ORDER BY tf DESC, token ASC LIMIT {k}
+    """
+
+
+def bigram_counts(df: DataFrame, tokens: str = "tokens") -> DataFrame:
+    """(a, b, cnt): adjacent-pair counts — the raw material for PMI
+    phrase mining and tokenizer-merge candidates.
+
+    Pair construction is row-local array arithmetic (``transform`` with
+    the positional lambda index); the only shuffle is the final groupBy,
+    partial-aggregated to the distinct-bigram count per partition."""
+    col = _tokens_nonnull(tokens)
+    pairs = F.when(
+        F.size(col) >= 2,
+        F.transform(
+            F.slice(col, 1, F.size(col) - 1),
+            lambda x, i: F.struct(
+                x.alias("a"), F.element_at(col, i + F.lit(2)).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bigram_counts_sql(rel: str = "seq", tokens: str = "tokens") -> str:
+    # DuckDB lists are 1-indexed; range(n) is 0-based, so the pair at
+    # offset i is (toks[i+1], toks[i+2]) for i in 0..len-2.
+    return f"""
+        SELECT toks[i + 1] AS a, toks[i + 2] AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT {tokens_nonnull_sql(tokens)} AS toks FROM {rel}),
+             unnest(range(len(toks) - 1)) AS r(i)
+        GROUP BY 1, 2
+    """
+
+
+def length_histogram(df: DataFrame, n_tok: str = "n_tok") -> DataFrame:
+    """(bucket, cnt): power-of-two sequence-length histogram
+    (bucket = floor(log2(n_tok + 1)), integer-exact via bit_length).
+
+    Length distribution drives packing context-length choices
+    (operators/packing.py) and batch-size planning; integer bucket ids
+    keep the result bit-exact cross-engine (no float log)."""
+    # bit_length(n+1) - 1 == floor(log2(n+1)) for n >= 0, all-integer.
+    bucket = (
+        F.length(F.conv((F.col(n_tok) + 1).cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def length_histogram_sql(rel: str = "seq", n_tok: str = "n_tok") -> str:
+    return f"""
+        SELECT CAST(length(ltrim(bin({n_tok} + 1), '0')) - 1 AS INTEGER)
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {rel} GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def count_min_sketch(
+    df: DataFrame,
+    tokens: str = "tokens",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(r, cell, cnt): a depth x width count-min sketch of token
+    occurrences.
+
+    Each occurrence contributes one increment per hash row; the explode
+    fan-out is depth x, but partial aggregation bounds the exchange at
+    depth*width cells per map partition — the sketch's whole point: the
+    shuffled/merged state is CONSTANT in corpus and vocabulary size.
+    Row i uses the affine family h_i(t) = ((2i+1)a*t + i*b) mod P mod
+    width (operators/dedup.py constants — DuckDB-expressible)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (_h(i, F.col("t")) % width).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(_tokens_nonnull(tokens)).alias("t"))
+        .select(F.explode(cells).alias("rc"))
+        .select("rc.r", "rc.cell")
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_sketch_sql(
+    rel: str = "seq",
+    tokens: str = "tokens",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS r, CAST(({h_sql(i, 't')}) % {width} AS INTEGER)"
+        f" AS cell FROM toks"
+        for i in range(depth)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT t FROM {rel}, unnest({tokens_nonnull_sql(tokens)}) AS u(t)
+        )
+        SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({rows}) GROUP BY 1, 2
+    """
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-lookup: estimate tf for each query token as min over the
+    sketch's depth cells — the classic one-sided (over-)estimate.
+
+    The sketch side is depth*width rows, always broadcast; lookups never
+    shuffle the query side."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (_h(i, F.col(token)) % width).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = (
+        queries.select(F.col(token), F.explode(cells).alias("rc"))
+        .select(token, "rc.r", "rc.cell")
+        .join(F.broadcast(sketch), ["r", "cell"], "left")
+    )
+    return probed.groupBy(token).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("tf_est")
+    )

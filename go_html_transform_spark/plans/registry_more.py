@@ -455,40 +455,52 @@ def sim_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "match_universal_positions",
+    "match_simple_selectors",
     _cte(
         """
-        SELECT event_id, n_tok AS n_matches, 0 AS first_pos
+        SELECT 'universal' AS variant, event_id,
+               n_tok AS n_matches, 0 AS first_pos
         FROM seq WHERE n_tok > 0
-        """
-    ),
-)
-def match_universal_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Universal `*` (data.go:20-21): every position matches — the full-scan
-    Sequence.Find with an always-true predicate."""
-    seq = S.sequences(spark, sf_dir)
-    m = Transformer(seq).matched("*")
-    return m.select(
-        "event_id",
-        F.size("match_pos").alias("n_matches").cast("int"),
-        F.element_at("match_pos", 1).alias("first_pos"),
-    )
-
-
-@register(
-    "match_id_selector",
-    _cte(
-        """
-        SELECT event_id FROM seq
+        UNION ALL
+        SELECT 'id' AS variant, event_id,
+               CAST(NULL AS INTEGER) AS n_matches,
+               CAST(NULL AS INTEGER) AS first_pos
+        FROM seq
         WHERE doc_id = 'd000007' AND list_contains(tokens, 982)
         """
     ),
 )
-def match_id_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Id selector `t982#d000007` (data.go:155-158): row-level doc_id
-    equality conjoined with the tag predicate."""
+def match_simple_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the two remaining simple selectors (one registry slot,
+    both variants hash-checked):
+
+    * universal `*` (data.go:20-21): every position matches — the
+      full-scan Sequence.Find with an always-true predicate.
+    * id `t982#d000007` (data.go:155-158): row-level doc_id equality
+      conjoined with the tag predicate.
+    """
     seq = S.sequences(spark, sf_dir)
-    return Transformer(seq).matched("t982#d000007").select("event_id")
+    uni = (
+        Transformer(seq)
+        .matched("*")
+        .select(
+            F.lit("universal").alias("variant"),
+            F.col("event_id"),
+            F.size("match_pos").alias("n_matches").cast("int"),
+            F.element_at("match_pos", 1).alias("first_pos"),
+        )
+    )
+    by_id = (
+        Transformer(seq)
+        .matched("t982#d000007")
+        .select(
+            F.lit("id").alias("variant"),
+            F.col("event_id"),
+            F.lit(None).cast("int").alias("n_matches"),
+            F.lit(None).cast("int").alias("first_pos"),
+        )
+    )
+    return uni.unionByName(by_id)
 
 
 # NOTE: match_pseudo_root folded into match_pseudo_classes above.

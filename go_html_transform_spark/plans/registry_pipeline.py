@@ -15,6 +15,7 @@ from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import sampling as SAM
 from go_html_transform_spark.operators import sharding as SH
+from go_html_transform_spark.operators import sketches as SK
 from go_html_transform_spark.plans.registry import _cte, register
 from go_html_transform_spark.sources import tables as S
 
@@ -343,4 +344,92 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_us",
         "purchase_us",
         (F.col("purchase_us") - F.col("click_us")).alias("delta_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus token statistics / sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_token_stats",
+    _cte(
+        f"""
+        SELECT 'tf_top' AS variant, CAST(token AS INTEGER) AS k1,
+               CAST(NULL AS INTEGER) AS k2, tf AS cnt
+        FROM ({SK.heavy_hitters_sql(50, 'seq')})
+        UNION ALL
+        SELECT 'df_top', CAST(token AS INTEGER), NULL, df
+        FROM (SELECT token, df FROM ({SK.document_frequencies_sql('seq')})
+              ORDER BY df DESC, token ASC LIMIT 50)
+        UNION ALL
+        SELECT 'bigram_top', CAST(a AS INTEGER), CAST(b AS INTEGER), cnt
+        FROM (SELECT a, b, cnt FROM ({SK.bigram_counts_sql('seq')})
+              ORDER BY cnt DESC, a ASC, b ASC LIMIT 50)
+        UNION ALL
+        SELECT 'cms', r, cell, cnt FROM ({SK.count_min_sketch_sql('seq')})
+        UNION ALL
+        SELECT 'len_hist', bucket, NULL, cnt
+        FROM ({SK.length_histogram_sql('seq')})
+        """
+    ),
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-statistics sketch layer as one hash-checked union (the
+    vocabulary dimension built FROM the corpus — SURVEY §2.12's contract
+    at scale). Variants, each an independent operator:
+
+    * tf_top — top-50 heavy hitters by occurrence count
+      (TakeOrderedAndProject over the vocab-bounded frequency table)
+    * df_top — top-50 by document frequency (row-local array_distinct
+      before the explode: no extra shuffle)
+    * bigram_top — top-50 adjacent bigrams (PMI phrase-mining raw counts)
+    * cms — the full depth x width count-min sketch: shuffle state
+      CONSTANT in corpus and vocab size, mergeable cell-wise
+    * len_hist — power-of-two sequence-length histogram (integer-exact,
+      drives packing context-length choices)
+
+    Every count is exact-integer; all five plans are a single
+    partial-agg'd exchange (tests/test_sketches.py pins plans + parity
+    on dirty data)."""
+    seq = S.sequences(spark, sf_dir).select("tokens", "n_tok")
+    k1 = lambda c: F.col(c).cast("int").alias("k1")  # noqa: E731
+    nul = F.lit(None).cast("int").alias("k2")
+    cnt = lambda c: F.col(c).cast("long").alias("cnt")  # noqa: E731
+
+    tf_top = SK.heavy_hitters(seq, 50).select(
+        F.lit("tf_top").alias("variant"), k1("token"), nul, cnt("tf")
+    )
+    df_top = (
+        SK.document_frequencies(seq)
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+        .select(F.lit("df_top").alias("variant"), k1("token"), nul, cnt("df"))
+    )
+    bigram_top = (
+        SK.bigram_counts(seq)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(50)
+        .select(
+            F.lit("bigram_top").alias("variant"),
+            k1("a"),
+            F.col("b").cast("int").alias("k2"),
+            cnt("cnt"),
+        )
+    )
+    cms = SK.count_min_sketch(seq).select(
+        F.lit("cms").alias("variant"),
+        k1("r"),
+        F.col("cell").cast("int").alias("k2"),
+        cnt("cnt"),
+    )
+    len_hist = SK.length_histogram(seq).select(
+        F.lit("len_hist").alias("variant"), k1("bucket"), nul, cnt("cnt")
+    )
+    return (
+        tf_top.unionByName(df_top)
+        .unionByName(bigram_top)
+        .unionByName(cms)
+        .unionByName(len_hist)
     )
