@@ -190,6 +190,21 @@ def length_histogram_sql(rel: str = "seq", n_tok: str = "n_tok") -> str:
 # ---------------------------------------------------------------------------
 
 
+def cms_cells(token: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> Column:
+    """array<struct<r,cell>> of the depth cells one token increments —
+    shared by the batch sketch, the point lookup, and the streaming
+    sketch (streaming/stream.py)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (_h(i, token) % width).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     tokens: str = "tokens",
@@ -205,18 +220,9 @@ def count_min_sketch(
     shuffled/merged state is CONSTANT in corpus and vocabulary size.
     Row i uses the affine family h_i(t) = ((2i+1)a*t + i*b) mod P mod
     width (operators/dedup.py constants — DuckDB-expressible)."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                (_h(i, F.col("t")) % width).cast("int").alias("cell"),
-            )
-            for i in range(depth)
-        ]
-    )
     return (
         df.select(F.explode(_tokens_nonnull(tokens)).alias("t"))
-        .select(F.explode(cells).alias("rc"))
+        .select(F.explode(cms_cells(F.col("t"), depth, width)).alias("rc"))
         .select("rc.r", "rc.cell")
         .groupBy("r", "cell")
         .agg(F.count("*").alias("cnt"))
@@ -255,17 +261,10 @@ def cms_estimate(
 
     The sketch side is depth*width rows, always broadcast; lookups never
     shuffle the query side."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                (_h(i, F.col(token)) % width).cast("int").alias("cell"),
-            )
-            for i in range(depth)
-        ]
-    )
     probed = (
-        queries.select(F.col(token), F.explode(cells).alias("rc"))
+        queries.select(
+            F.col(token), F.explode(cms_cells(F.col(token), depth, width)).alias("rc")
+        )
         .select(token, "rc.r", "rc.cell")
         .join(F.broadcast(sketch), ["r", "cell"], "left")
     )

@@ -288,6 +288,41 @@ def streaming_dedup(
     )
 
 
+def streaming_token_stats(
+    seq_stream: DataFrame,
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Incremental count-min sketch of token occurrences over the stream
+    — the state-CONSTANT streaming corpus statistic.
+
+    A streaming per-token frequency table holds |vocab| state rows and a
+    per-bigram table |vocab|^2 — both unbounded for open vocabularies.
+    The CMS keeps exactly depth x width counter rows regardless of
+    vocabulary or stream length (the aggregation state IS the sketch),
+    and the result merges cell-wise with any batch sketch built by
+    operators/sketches.count_min_sketch over historical data — the
+    classic lambda-architecture union without re-reading the history.
+
+    Stateless explode (tokens -> depth cells) feeds a plain streaming
+    groupBy; complete-mode output emits the whole (tiny) sketch each
+    trigger. Batch parity: draining this with availableNow equals the
+    batch count_min_sketch on the same rows
+    (tests/test_multimodal_streaming.py)."""
+    from go_html_transform_spark.operators import sketches as SK
+
+    depth = SK.CMS_DEPTH if depth is None else depth
+    width = SK.CMS_WIDTH if width is None else width
+    nonnull = F.filter(F.col("tokens"), lambda t: t.isNotNull())
+    return (
+        seq_stream.select(F.explode(nonnull).alias("t"))
+        .select(F.explode(SK.cms_cells(F.col("t"), depth, width)).alias("rc"))
+        .select("rc.r", "rc.cell")
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str | None = None
 ) -> DataFrame:

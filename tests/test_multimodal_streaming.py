@@ -261,3 +261,44 @@ def test_resize_media_plumbing(spark, media):
     out2 = MM.resize_media(media.repartition(5), 16, 16, fake=True)
     rows2 = {r.media_id: bytes(r.payload) for r in out2.collect()}
     assert rows2 == {k: bytes(v.payload) for k, v in rows.items()}
+
+
+def test_streaming_token_stats_match_batch_cms(spark):
+    """Streaming CMS drained with availableNow equals the batch sketch on
+    the same rows, and the aggregation state is exactly the sketch cells
+    (state-constant regardless of vocabulary)."""
+    from go_html_transform_spark.operators import sketches as SK
+    from go_html_transform_spark.sources.tables import sequences
+
+    stream = ST.stream_sequences(spark, SF_DIR)
+    got = ST.run_available_now(
+        ST.streaming_token_stats(stream), "tok_stats_cms"
+    )
+    want = SK.count_min_sketch(sequences(spark, SF_DIR))
+    g = [tuple(r) for r in got.orderBy("r", "cell").collect()]
+    w = [tuple(r) for r in want.orderBy("r", "cell").collect()]
+    assert g == w
+    assert len(g) <= SK.CMS_DEPTH * SK.CMS_WIDTH
+
+
+def test_streaming_cms_merges_with_batch_sketch(spark):
+    """Lambda-architecture property: sketch(history) + sketch(stream) via
+    cell-wise addition equals sketch(history UNION stream)."""
+    from go_html_transform_spark.operators import sketches as SK
+
+    hist = spark.createDataFrame(
+        [("h0", [1, 2, 3]), ("h1", [2, 2])], "doc_id string, tokens array<int>"
+    )
+    live = spark.createDataFrame(
+        [("l0", [3, 4])], "doc_id string, tokens array<int>"
+    )
+    merged = (
+        SK.count_min_sketch(hist)
+        .unionByName(SK.count_min_sketch(live))
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.count_min_sketch(hist.unionByName(live))
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )

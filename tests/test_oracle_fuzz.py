@@ -202,3 +202,37 @@ def test_jaccard_ppm_twin_exhaustive_small_sets(spark, duck):
         """
     )
     _strict(eng, ora)
+
+
+def test_sketch_twins_random_corpus(spark, duck):
+    """Corpus-statistics sketches (operators/sketches.py) on a random
+    corpus + degenerate shapes: tf / df / bigram / CMS / length
+    histogram all strict-match their DuckDB twins (aggregated kernels,
+    so the whole-corpus GROUP BY result is the compared object)."""
+    from go_html_transform_spark.operators import sketches as SK
+
+    rows = _token_corpus()
+    df = spark.createDataFrame(
+        rows, "id long, tokens array<int>"
+    ).withColumn("n_tok", F.coalesce(F.size("tokens"), F.lit(0)))
+    duck.execute("CREATE OR REPLACE TABLE skcorp (id BIGINT, tokens INTEGER[])")
+    duck.executemany("INSERT INTO skcorp VALUES (?, ?)", rows)
+    duck.execute(
+        "CREATE OR REPLACE VIEW skcorpn AS SELECT *,"
+        " COALESCE(len(tokens), 0) AS n_tok FROM skcorp"
+    )
+
+    for eng, sql, order in [
+        (SK.token_frequencies(df), SK.token_frequencies_sql("skcorp"), "token"),
+        (SK.document_frequencies(df), SK.document_frequencies_sql("skcorp"), "token"),
+        (SK.count_min_sketch(df), SK.count_min_sketch_sql("skcorp"), "r, cell"),
+        (SK.length_histogram(df), SK.length_histogram_sql("skcorpn"), "bucket"),
+    ]:
+        _strict(
+            eng.orderBy(*[c.strip() for c in order.split(",")]),
+            duck.sql(f"SELECT * FROM ({sql}) ORDER BY {order}"),
+        )
+    _strict(
+        SK.bigram_counts(df).orderBy("a", "b"),
+        duck.sql(f"SELECT * FROM ({SK.bigram_counts_sql('skcorp')}) ORDER BY a, b"),
+    )
