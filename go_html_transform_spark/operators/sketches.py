@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from go_html_transform_spark.operators.dedup import MINHASH_P, h_sql, _h
+from go_html_transform_spark.operators.dedup import h_sql, _h
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -125,22 +125,21 @@ def bigram_counts(df: DataFrame, tokens: str = "tokens") -> DataFrame:
     """(a, b, cnt): adjacent-pair counts — the raw material for PMI
     phrase mining and tokenizer-merge candidates.
 
-    Pair construction is row-local array arithmetic (``transform`` with
-    the positional lambda index); the only shuffle is the final groupBy,
-    partial-aggregated to the distinct-bigram count per partition."""
-    col = _tokens_nonnull(tokens)
-    pairs = F.when(
-        F.size(col) >= 2,
-        F.transform(
-            F.slice(col, 1, F.size(col) - 1),
-            lambda x, i: F.struct(
-                x.alias("a"), F.element_at(col, i + F.lit(2)).alias("b")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+    Pair construction is posexplode + an element_at on the SAME
+    materialized array attribute — no higher-order-function lambda, so
+    the whole pre-agg pipeline stays in whole-stage codegen. (The
+    tempting ``transform(slice(...), (x, i) -> element_at(tokens, i+2))``
+    form captures the outer filtered-array EXPRESSION inside the lambda,
+    which interpreted HOF eval re-computes per element — the O(n^2)
+    capture trap plans/rules.py:363 documents and regression-guards.)
+    The only shuffle is the final groupBy, partial-aggregated to the
+    distinct-bigram count per partition."""
+    exploded = df.select(_tokens_nonnull(tokens).alias("__t")).select(
+        "__t", F.posexplode("__t").alias("i", "a")
+    )
     return (
-        df.select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
+        exploded.filter(F.col("i") < F.size("__t") - 1)
+        .select("a", F.element_at("__t", F.col("i") + F.lit(2)).alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
     )
@@ -247,6 +246,81 @@ def count_min_sketch_sql(
         SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM ({rows}) GROUP BY 1, 2
     """
+
+
+KMV_K = 64
+# Distinct-count hashing needs a space >> the distinct cardinality being
+# estimated (the 2^19 MINHASH_P family would saturate on n-gram spaces):
+# a ~2^40 prime with a ~2^20 multiplier keeps a*v + b < 2^51 for values
+# v < 2^31 (tokens and packed 3-gram shingles both fit) — overflow-safe
+# int64 arithmetic identical in Spark and DuckDB.
+KMV_P = 1099511627689  # largest prime < 2^40
+KMV_A = 1048573
+KMV_B = 779230769
+
+
+def _kmv_h(v: Column) -> Column:
+    return (v.cast("long") * KMV_A + KMV_B) % KMV_P
+
+
+def kmv_h_sql(v: str = "v") -> str:
+    return f"(CAST({v} AS BIGINT) * {KMV_A} + {KMV_B}) % {KMV_P}"
+
+
+def kmv_sketch(
+    df: DataFrame,
+    values: Column | str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch: the k smallest DISTINCT
+    affine-hash values of an exploded array column (one row per value,
+    ascending).
+
+    Where the CMS answers "how often", KMV answers "how many distinct"
+    — for spaces too large to count exactly (distinct n-gram shingles at
+    10^12 docs is the motivating case). Properties:
+
+    * exact-deterministic contents (the k smallest hashes are a set
+      function of the input), so the sketch itself is oracle-checkable —
+      unlike HLL registers, whose merge order DuckDB and Spark would
+      disagree on.
+    * mergeable: union two sketches, take the k smallest again.
+    * estimate: (k-1) * HASH_SPACE / h_k (kmv_estimate_distinct).
+
+    Plan: explode -> row-local hash -> groupBy(h) for distinctness (the
+    partial aggregation dedups map-side, so the exchange carries each
+    partition's distinct hashes once) -> TakeOrderedAndProject(k). At
+    extreme cardinality the groupBy exchange dominates; the refinement
+    is a static pre-filter h < margin * k/n_lower * P once a corpus
+    lower bound is known — same plan, epsilon shuffle."""
+    col = F.col(values) if isinstance(values, str) else values
+    hashed = df.select(F.explode(col).alias("v")).filter(
+        F.col("v").isNotNull()
+    ).select(_kmv_h(F.col("v")).alias("h"))
+    return hashed.groupBy("h").agg(F.lit(1).alias("__one")).select("h").orderBy(
+        "h"
+    ).limit(k)
+
+
+def kmv_sketch_sql(
+    rel: str,
+    values_sql: str,
+    k: int = KMV_K,
+) -> str:
+    return f"""
+        SELECT DISTINCT {kmv_h_sql('v')} AS h
+        FROM {rel}, unnest({values_sql}) AS u(v)
+        WHERE v IS NOT NULL
+        ORDER BY h ASC LIMIT {k}
+    """
+
+
+def kmv_estimate_distinct(sketch_rows: list[int], k: int = KMV_K) -> float:
+    """Driver-side estimate from the materialized (tiny) sketch: if fewer
+    than k distinct values exist the count is exact (= len)."""
+    if len(sketch_rows) < k:
+        return float(len(sketch_rows))
+    return (k - 1) * KMV_P / float(max(sketch_rows))
 
 
 def cms_estimate(

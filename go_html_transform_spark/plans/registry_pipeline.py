@@ -372,6 +372,9 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'len_hist', bucket, NULL, cnt
         FROM ({SK.length_histogram_sql('seq')})
+        UNION ALL
+        SELECT 'kmv', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), h
+        FROM ({SK.kmv_sketch_sql('seq', D.shingles3_sql('tokens'))})
         """
     ),
 )
@@ -389,6 +392,9 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       CONSTANT in corpus and vocab size, mergeable cell-wise
     * len_hist — power-of-two sequence-length histogram (integer-exact,
       drives packing context-length choices)
+    * kmv — K-minimum-values distinct-count sketch over 3-gram shingles
+      (exact-deterministic contents, so unlike HLL registers the sketch
+      itself is hash-checkable; estimate = (k-1)*P/h_k)
 
     Every count is exact-integer; all five plans are a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
@@ -427,9 +433,16 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_hist = SK.length_histogram(seq).select(
         F.lit("len_hist").alias("variant"), k1("bucket"), nul, cnt("cnt")
     )
+    kmv = SK.kmv_sketch(seq, D.shingles3(F.col("tokens"))).select(
+        F.lit("kmv").alias("variant"),
+        F.lit(None).cast("int").alias("k1"),
+        nul,
+        F.col("h").alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
         .unionByName(cms)
         .unionByName(len_hist)
+        .unionByName(kmv)
     )

@@ -136,3 +136,72 @@ def test_sketch_plans_single_shuffle(dirty_df):
     plan = hh._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_parity_and_exact_small(dirty_df, duck):
+    """Sketch contents strict-match DuckDB; below k distinct the sketch
+    IS the distinct set (exact count)."""
+    got = [r.h for r in SK.kmv_sketch(dirty_df, "tokens").collect()]
+    want = [
+        r[0]
+        for r in duck.execute(
+            SK.kmv_sketch_sql("rel", "tokens")
+        ).fetchall()
+    ]
+    assert got == want
+    # distinct non-null tokens: {1,2,3,7} -> exact
+    assert len(got) == 4
+    assert SK.kmv_estimate_distinct(got) == 4.0
+
+
+def test_kmv_merge_property(spark):
+    """Union two sketches, re-take k smallest == sketch of the union."""
+    a = spark.createDataFrame(
+        [(i, [i * 3 + j for j in range(3)]) for i in range(100)],
+        "id long, tokens array<int>",
+    )
+    b = spark.createDataFrame(
+        [(i, [i * 5 + j for j in range(3)]) for i in range(100)],
+        "id long, tokens array<int>",
+    )
+    merged = (
+        SK.kmv_sketch(a, "tokens")
+        .unionByName(SK.kmv_sketch(b, "tokens"))
+        .distinct()
+        .orderBy("h")
+        .limit(SK.KMV_K)
+    )
+    whole = SK.kmv_sketch(a.unionByName(b), "tokens")
+    assert [r.h for r in merged.collect()] == [r.h for r in whole.collect()]
+
+
+def test_kmv_estimate_accuracy(spark):
+    """~5000 known-distinct values, k=64: the (k-1)*P/h_k estimate lands
+    within the expected ~1/sqrt(k) relative-error band (generous 2.5x)."""
+    import random
+
+    rng = random.Random(7)
+    vals = rng.sample(range(1, 2**30), 5000)
+    rows = [(i, vals[i * 50 : (i + 1) * 50]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, tokens array<int>")
+    sketch = [r.h for r in SK.kmv_sketch(df, "tokens").collect()]
+    est = SK.kmv_estimate_distinct(sketch)
+    assert abs(est - 5000) / 5000 < 2.5 / (SK.KMV_K ** 0.5), est
+
+
+def test_kmv_over_shingles_plan(spark, dirty_df):
+    """The motivating use: distinct 3-gram shingles. Plan stays one
+    partial-agg'd exchange + TakeOrdered (no global sort)."""
+    from go_html_transform_spark.operators.dedup import shingles3
+
+    kmv = SK.kmv_sketch(dirty_df, shingles3(F.col("tokens")))
+    plan = kmv._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    rows = [r.h for r in kmv.collect()]
+    assert rows == sorted(rows)

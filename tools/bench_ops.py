@@ -54,15 +54,25 @@ def main() -> None:
     jvm = spark.sparkContext._jvm
 
     # --- inputs -----------------------------------------------------------
-    doc_raw = S.documents_tokenized(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_raw = (
+        S.documents_tokenized(spark, sf_dir)
+        .repartition(32)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_doc_raw = doc_raw.count()
 
     r = spark.range(REP).select(F.col("id").alias("__rep"))
+    # The 5k-row documents parquet is a single scan split, and the
+    # broadcast crossJoin preserves the fact side's partitioning — without
+    # an explicit repartition every scan-shaped op below would run as ONE
+    # task on one of the 32 cores (discovered via jstack on a "stuck"
+    # run). One exchange here, before the persist, parallelizes them all.
     doc_big = (
         doc_raw.crossJoin(F.broadcast(r))
         .withColumn("doc_id", F.concat("doc_id", F.lit("#"), F.col("__rep")))
         .withColumn("doc_key", F.col("doc_key") * REP + F.col("__rep"))
         .drop("__rep")
+        .repartition(128)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_doc_big = doc_big.count()
@@ -81,6 +91,7 @@ def main() -> None:
         .drop("__rep")
         .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
                 "event_type", "value")
+        .repartition(128)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_ev_big = ev_big.count()
@@ -140,6 +151,23 @@ def main() -> None:
     ))
     timed("exact_dedup", n_doc_big, lambda: drain(
         D.exact_dedup(doc_big, "doc_id", F.col("text"))
+    ))
+
+    # --- corpus statistics / sketches (explode-heavy: throughput is docs/s
+    # over the replicated corpus; shuffle is vocab- or sketch-bounded) ----
+    from go_html_transform_spark.operators import sketches as SK
+
+    timed("token_frequencies", n_doc_big, lambda: drain(
+        SK.token_frequencies(doc_big)
+    ))
+    timed("bigram_counts", n_doc_big, lambda: drain(
+        SK.bigram_counts(doc_big)
+    ))
+    timed("count_min_sketch", n_doc_big, lambda: drain(
+        SK.count_min_sketch(doc_big)
+    ))
+    timed("kmv_distinct_shingles", n_doc_big, lambda: drain(
+        SK.kmv_sketch(doc_big, D.shingles3(F.col("tokens")))
     ))
 
     # --- corpus-composition ops ------------------------------------------
@@ -236,7 +264,10 @@ def main() -> None:
     lines = [
         "# BENCH/OPS.md — per-operator throughput (training-data ops)",
         "",
-        f"sf0.1 corpus; scan-shaped ops replicated x{REP} with unique ids; "
+        f"sf0.1 corpus; scan-shaped ops replicated x{REP} with unique ids "
+        "and repartitioned to 128 (earlier editions ran scan ops as ONE "
+        "task — the tiny parquet is a single split and the broadcast "
+        "crossJoin preserves it — so their numbers were single-core); "
         "pair-shaped LSH joins on the raw corpus (replication would square "
         "the true-duplicate pair count); min-of-3 (pair joins: single run), "
         "forced GC, noop sink, local[32].",
