@@ -150,6 +150,33 @@ def main() -> None:
         ),
     ]
 
+    from go_html_transform_spark.operators import sketches as SK
+
+    doc = S.documents_tokenized(spark, sf_dir)
+    sections += [
+        (
+            "bigram counts (corpus statistics)",
+            "MUST: zero HOF lambdas before the aggregation (posexplode + "
+            "element_at on a materialized attribute — the transform-lambda "
+            "capture form re-evaluates the filtered array per element); "
+            "exactly one Exchange, partial-aggregated map-side.",
+            SK.bigram_counts(doc),
+        ),
+        (
+            "count-min sketch",
+            "MUST: one Exchange whose key space is depth*width cells — the "
+            "shuffled and final state is CONSTANT in corpus and vocabulary "
+            "size; partial HashAggregate before the exchange.",
+            SK.count_min_sketch(doc),
+        ),
+        (
+            "KMV distinct-count sketch over 3-gram shingles",
+            "MUST: groupBy(h) partial aggregation dedups map-side, then "
+            "TakeOrderedAndProject(k) — never a global Sort.",
+            SK.kmv_sketch(doc, D.shingles3(F.col("tokens"))),
+        ),
+    ]
+
     lines = [
         "# BENCH/PLANS.md — physical-plan audit of the headline operators",
         "",
