@@ -323,6 +323,74 @@ def kmv_estimate_distinct(sketch_rows: list[int], k: int = KMV_K) -> float:
     return (k - 1) * KMV_P / float(max(sketch_rows))
 
 
+def bigram_lm_stats(
+    df: DataFrame, id_col: str = "doc_id", tokens: str = "tokens"
+) -> DataFrame:
+    """(id, lm_pairs, lm_sum, lm_avg): CCNet/KenLM-style model-based
+    quality scoring — each document scored by how typical its adjacent
+    token bigrams are under the corpus's own bigram counts. lm_avg (mean
+    corpus count of the document's bigrams, double) ranks documents for
+    quality filtering: word-soup scores low, formulaic boilerplate high.
+
+    Exactness: lm_pairs/lm_sum are int64; lm_avg is one int64/int64 IEEE
+    division — bit-identical cross-engine (no logs, no rounding).
+
+    Scale shape: the LM table is vocab^2-BOUNDED (built by bigram_counts'
+    single partial-agg'd exchange) and broadcasts; the corpus side is a
+    narrow pair-explode -> broadcast hash join -> groupBy(id). The final
+    exchange carries one partially-aggregated row per document, not per
+    pair. Self-referential scoring (LM from the same df) is the intended
+    use, but any pre-built (a, b, cnt) LM can be passed through
+    ``bigram_lm_score``."""
+    return bigram_lm_score(df, bigram_counts(df, tokens), id_col, tokens)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+) -> DataFrame:
+    exploded = df.select(
+        F.col(id_col), _tokens_nonnull(tokens).alias("__t")
+    ).select(id_col, "__t", F.posexplode("__t").alias("i", "a"))
+    pairs = exploded.filter(F.col("i") < F.size("__t") - 1).select(
+        id_col, "a", F.element_at("__t", F.col("i") + F.lit(2)).alias("b")
+    )
+    scored = pairs.join(F.broadcast(lm), ["a", "b"], "left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("lm_pairs"),
+        F.sum(F.coalesce("cnt", F.lit(0))).cast("long").alias("lm_sum"),
+        (
+            F.sum(F.coalesce("cnt", F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("lm_avg"),
+    )
+
+
+def bigram_lm_stats_sql(
+    rel: str = "doc", id_col: str = "doc_id", tokens: str = "tokens"
+) -> str:
+    """DuckDB twin: same LM-from-corpus + per-doc join/aggregate. Docs
+    with < 2 tokens produce no pairs and drop out (both engines)."""
+    return f"""
+        WITH __lm AS ({bigram_counts_sql(rel, tokens)}),
+        __pairs AS (
+            SELECT {id_col}, toks[i + 1] AS a, toks[i + 2] AS b
+            FROM (SELECT {id_col}, {tokens_nonnull_sql(tokens)} AS toks
+                  FROM {rel}),
+                 unnest(range(len(toks) - 1)) AS r(i)
+        )
+        SELECT {id_col},
+               CAST(COUNT(*) AS BIGINT) AS lm_pairs,
+               CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS lm_sum,
+               CAST(SUM(COALESCE(cnt, 0)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS lm_avg
+        FROM __pairs LEFT JOIN __lm USING (a, b)
+        GROUP BY 1
+    """
+
+
 def cms_estimate(
     sketch: DataFrame,
     queries: DataFrame,

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.functions import tokenize as TK
+from go_html_transform_spark.operators import boilerplate as BP
 from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import sampling as SAM
 from go_html_transform_spark.operators import sharding as SH
@@ -28,21 +30,24 @@ from go_html_transform_spark.sources import tables as S
     "text_analysis_suite",
     _cte(
         f"""
+        , {BP.remove_boilerplate_ctes('doc')}
         SELECT doc_id,
                {TX.lang_id_sql()} AS lang_pred,
                {TX.quality_score_ppm_sql()} AS quality_ppm,
                len({TX.words_sql()}) AS ws_tokens,
                {TX.subword_token_count_sql()} AS subword_tokens,
                {TX.regex_token_count_sql()} AS regex_tokens,
-               {TX.fingerprint_sql('tokens')} AS fp
-        FROM doc
+               {TX.fingerprint_sql('tokens')} AS fp,
+               bp_removed,
+               {TX.fingerprint_sql(TK.tokens_sql('cleaned'))} AS bp_fp
+        FROM bp_clean
         """
     ),
 )
 def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis layer as one hash-checked per-document row
     (driver checks at most 50 queries; each column is an independent
-    operator, all pure Column arithmetic — no UDF):
+    operator — no UDF, and the corpus side never exchanges):
 
     * lang_pred — stopword-ratio language ID over documents.text
     * quality_ppm — composite quality score (length saturation, stopword
@@ -53,9 +58,15 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       heuristic, and BPE-ish regex (shared Java-regex/RE2 dialect) token
       counting
     * fp — order-sensitive rolling-hash document fingerprint
+    * bp_removed / bp_fp — C4-style boilerplate removal
+      (operators/boilerplate.py): segments repeated across >= 4 docs are
+      dropped; bp_fp fingerprints the re-tokenized cleaned text. The hot
+      set folds to one broadcast array row, so this column adds a
+      vocab-bounded aggregation subtree but ZERO corpus exchanges.
     """
     doc = S.documents_tokenized(spark, sf_dir)
-    return doc.select(
+    clean = BP.remove_boilerplate(doc, "text", out_col="__clean")
+    return clean.select(
         "doc_id",
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.quality_score_ppm(F.col("text")).alias("quality_ppm"),
@@ -63,6 +74,8 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.subword_token_count(F.col("text")).alias("subword_tokens"),
         TX.regex_token_count(F.col("text")).alias("regex_tokens"),
         TX.fingerprint(F.col("tokens")).alias("fp"),
+        "bp_removed",
+        TX.fingerprint(TK.tokens_expr(F.col("__clean"))).alias("bp_fp"),
     )
 
 
@@ -375,6 +388,14 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'kmv', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), h
         FROM ({SK.kmv_sketch_sql('seq', D.shingles3_sql('tokens'))})
+        UNION ALL
+        SELECT 'bp_hot', CAST(NULL AS INTEGER), CAST(df_cnt AS INTEGER),
+               {TX.fingerprint_sql(TK.tokens_sql('seg'))}
+        FROM ({BP.hot_segments_sql('doc')})
+        UNION ALL
+        SELECT 'lm_doc', CAST(doc_id[2:] AS INTEGER),
+               CAST(lm_pairs AS INTEGER), lm_sum
+        FROM ({SK.bigram_lm_stats_sql('doc')})
         """
     ),
 )
@@ -395,11 +416,21 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     * kmv — K-minimum-values distinct-count sketch over 3-gram shingles
       (exact-deterministic contents, so unlike HLL registers the sketch
       itself is hash-checkable; estimate = (k-1)*P/h_k)
+    * bp_hot — the C4-style boilerplate hot set over documents
+      (operators/boilerplate.py): k2 = document frequency, cnt = the
+      segment's re-tokenized rolling-hash fingerprint (identity without
+      shipping strings through the schema)
+    * lm_doc — per-document bigram-LM quality stats
+      (sketches.bigram_lm_stats): k1 = numeric doc id, k2 = adjacent
+      pairs, cnt = summed corpus bigram counts (lm_avg = cnt/k2 is
+      implied exactly)
 
-    Every count is exact-integer; all five plans are a single
+    Every count is exact-integer; each batch-sketch plan is a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
-    on dirty data)."""
+    on dirty data); lm_doc adds the broadcast-LM join + one doc-keyed
+    partial-agg'd exchange."""
     seq = S.sequences(spark, sf_dir).select("tokens", "n_tok")
+    doc = S.documents_tokenized(spark, sf_dir)
     k1 = lambda c: F.col(c).cast("int").alias("k1")  # noqa: E731
     nul = F.lit(None).cast("int").alias("k2")
     cnt = lambda c: F.col(c).cast("long").alias("cnt")  # noqa: E731
@@ -439,10 +470,24 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul,
         F.col("h").alias("cnt"),
     )
+    bp_hot = BP.hot_segments(doc, "text").select(
+        F.lit("bp_hot").alias("variant"),
+        F.lit(None).cast("int").alias("k1"),
+        F.col("df_cnt").cast("int").alias("k2"),
+        TX.fingerprint(TK.tokens_expr(F.col("seg"))).alias("cnt"),
+    )
+    lm_doc = SK.bigram_lm_stats(doc).select(
+        F.lit("lm_doc").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("lm_pairs").cast("int").alias("k2"),
+        F.col("lm_sum").alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
         .unionByName(cms)
         .unionByName(len_hist)
         .unionByName(kmv)
+        .unionByName(bp_hot)
+        .unionByName(lm_doc)
     )

@@ -236,3 +236,44 @@ def test_sketch_twins_random_corpus(spark, duck):
         SK.bigram_counts(df).orderBy("a", "b"),
         duck.sql(f"SELECT * FROM ({SK.bigram_counts_sql('skcorp')}) ORDER BY a, b"),
     )
+
+
+def test_boilerplate_and_lm_twins_adversarial(spark, duck):
+    """Boilerplate removal (operators/boilerplate.py) and bigram-LM
+    scoring on a random low-entropy word corpus (so hot segments and
+    repeated bigrams actually occur) + dirty shapes: empty text,
+    whitespace runs, unicode words, NULL token elements."""
+    from go_html_transform_spark.operators import boilerplate as BP
+    from go_html_transform_spark.operators import sketches as SK
+
+    rng = random.Random(SEED + 5)
+    words = ["nav", "bar", "ünïcode", "a", "bb", "ccc", "…"]
+    rows = []
+    for i in range(100):
+        n = rng.randrange(0, 14)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    rows += [(100, ""), (101, "   "), (102, "x  y   z"), (103, "nav nav nav")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    duck.execute("CREATE OR REPLACE TABLE bcorp (id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO bcorp VALUES (?, ?)", rows)
+
+    eng = BP.remove_boilerplate(df, "text", min_docs=3).select(
+        "id", "bp_removed", F.col("text").alias("cleaned")
+    )
+    ora = duck.sql(
+        f"WITH {BP.remove_boilerplate_ctes('bcorp', min_docs=3)} "
+        "SELECT id, bp_removed, cleaned FROM bp_clean ORDER BY id"
+    )
+    _strict(eng.orderBy("id"), ora)
+
+    tok_rows = _token_corpus()
+    df2 = spark.createDataFrame(tok_rows, "id long, tokens array<int>")
+    duck.execute("CREATE OR REPLACE TABLE lmcorp (id BIGINT, tokens INTEGER[])")
+    duck.executemany("INSERT INTO lmcorp VALUES (?, ?)", tok_rows)
+    _strict(
+        SK.bigram_lm_stats(df2, "id").orderBy("id"),
+        duck.sql(
+            f"SELECT * FROM ({SK.bigram_lm_stats_sql('lmcorp', 'id')})"
+            " ORDER BY id"
+        ),
+    )
