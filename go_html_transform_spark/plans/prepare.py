@@ -1,10 +1,11 @@
 """The end-to-end training-corpus preparation pipeline — the composition
 every individual operator in this engine exists to serve:
 
-    score (lang-id, quality) -> filter -> [benchmark decontamination] ->
-    exact dedup -> near-dup removal (MinHash-LSH pairs -> connected
-    components -> keep canonical) -> [source mixing] -> deterministic
-    shard assignment -> [sequence packing] -> partitioned sink
+    score (lang-id, quality) -> filter -> [boilerplate removal] ->
+    [benchmark decontamination] -> exact dedup -> near-dup removal
+    (MinHash-LSH pairs -> connected components -> keep canonical) ->
+    [source mixing] -> deterministic shard assignment ->
+    [sequence packing] -> partitioned sink
 
 Everything is the already-oracle-checked operators from functions/text.py,
 operators/dedup.py and operators/sharding.py wired in their intended
@@ -28,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from go_html_transform_spark.functions import text as TX
+from go_html_transform_spark.functions.tokenize import tokens_expr
+from go_html_transform_spark.operators import boilerplate as BP
 from go_html_transform_spark.operators import decontaminate as DC
 from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import packing as PK
@@ -49,6 +52,7 @@ def prepare_training_corpus(
     decontaminate_ngram: int = 13,
     mix_weights: dict[str, float] | None = None,
     pack_context_len: int | None = None,
+    boilerplate_min_docs: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (prepared DataFrame, stage-by-stage stats). Writes a
     shard-partitioned parquet corpus when ``out_dir`` is given (the
@@ -71,6 +75,11 @@ def prepare_training_corpus(
       as a deterministic stratified sample (operators/sampling.py).
     * ``pack_context_len`` — append (tok_before, pack_id, pack_offset):
       the shard-local concat-and-chunk placement (operators/packing.py).
+    * ``boilerplate_min_docs`` — C4-style duplicate-segment removal
+      BEFORE dedup (operators/boilerplate.py; boilerplate otherwise
+      masks true near-duplicate content): text is rewritten and
+      tokens/n_tok re-derived, adding only the hot-set broadcast —
+      the corpus still never exchanges in this stage.
     """
     doc = S.documents_tokenized(spark, sf_dir)
     stats: dict[str, int] = {}
@@ -88,6 +97,22 @@ def prepare_training_corpus(
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(kept)
         stats["after_quality_lang_filter"] = kept.count()
+
+    if boilerplate_min_docs is not None:
+        if not persisted:
+            # remove_boilerplate reads `kept` twice (hot-set subtree +
+            # corpus side) — pin it so the filter scan runs once
+            kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(kept)
+        kept = BP.remove_boilerplate(kept, "text", min_docs=boilerplate_min_docs)
+        kept = kept.withColumn("tokens", tokens_expr("text")).withColumn(
+            "n_tok", F.size(F.col("tokens")).cast("int")
+        )
+        if collect_stats:
+            stats["boilerplate_segments_removed"] = kept.agg(
+                F.sum("bp_removed")
+            ).first()[0]
+        kept = kept.drop("bp_removed")
 
     if eval_df is not None:
         kept = DC.decontaminate(

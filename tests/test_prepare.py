@@ -110,6 +110,42 @@ def test_prepare_full_recipe_with_optional_stages(spark):
         assert r.pack_offset == r.tok_before % 128
 
 
+def test_prepare_with_boilerplate_stage(spark):
+    """Opt-in C4-style boilerplate removal between filter and dedup:
+    text is rewritten, tokens/n_tok re-derived, bp_removed folded into
+    stats and dropped from the schema."""
+    df, stats = prepare_training_corpus(
+        spark, SF_DIR, n_shards=8, boilerplate_min_docs=2, **PARAMS
+    )
+    rows = df.select("doc_id", "text", "tokens", "n_tok").collect()
+    release_training_corpus(df)
+    assert "bp_removed" not in df.columns
+    assert stats["boilerplate_segments_removed"] >= 0
+    for r in rows:
+        assert r.n_tok == len(r.tokens)
+        # tokens were re-derived from the REWRITTEN text, not the input
+        assert len(r.tokens) == len(r.text.split())
+
+    # an unreachable hot-set threshold must reduce to the baseline run
+    # (the corpus is single-spaced, so the rewrite is the identity)
+    base, _ = prepare_training_corpus(
+        spark, SF_DIR, n_shards=8, collect_stats=False, **PARAMS
+    )
+    noop, _ = prepare_training_corpus(
+        spark,
+        SF_DIR,
+        n_shards=8,
+        collect_stats=False,
+        boilerplate_min_docs=10**9,
+        **PARAMS,
+    )
+    assert {r.doc_id for r in noop.select("doc_id").collect()} == {
+        r.doc_id for r in base.select("doc_id").collect()
+    }
+    release_training_corpus(base)
+    release_training_corpus(noop)
+
+
 def test_prepare_release_unpins_exactly_what_it_persisted(spark):
     df, _ = prepare_training_corpus(
         spark, SF_DIR, n_shards=4, collect_stats=False, **PARAMS
