@@ -413,3 +413,111 @@ def cms_estimate(
     return probed.groupBy(token).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("tf_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document distinctive tokens (tf-idf-style keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+def df_map_row(df: DataFrame, tokens: str = "tokens") -> DataFrame:
+    """The corpus document-frequency table folded into ONE map row —
+    the broadcastable idf side of keyword extraction. Vocab-bounded
+    (|map| <= VOCAB_SIZE), same fold-to-a-row pattern as the
+    boilerplate hot set (operators/boilerplate.py): no driver collect,
+    one exchange for the groupBy + the single-row final agg."""
+    return document_frequencies(df, tokens).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("df")))
+        ).alias("__dfmap")
+    )
+
+
+def distinctive_tokens(
+    df: DataFrame,
+    tokens: str = "tokens",
+    k: int = 5,
+    out: str = "top_tokens_csv",
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Append a per-document keyword column: the top-``k`` tokens ranked
+    by (tf DESC, df ASC, token ASC) — the exact-integer order statistic
+    behind tf-idf (high in-document frequency, low corpus document
+    frequency) with no float score, so the ranking is bit-identical
+    cross-engine. Output is ``"token:tf:df"`` CSV in rank order (``''``
+    for empty/NULL token arrays).
+
+    Scale shape (10^12 docs): the corpus side is NEVER exchanged — the
+    df map folds to one broadcast row (``df_map_row``) and everything
+    per-document is row-local array arithmetic. Per-row cost is
+    O(distinct x len) via ``array_remove`` counting (documents, not
+    books — fine), and every HOF lambda touches only MATERIALIZED
+    attributes (``__t``, ``__dfmap``; plans/rules.py:363 discipline).
+
+    ``stats_df`` computes the df map from a different relation than the
+    one being annotated (e.g. pre-cleaning corpus statistics applied to
+    a cleaned corpus).
+
+    Reference analogue: SelectorQuery scoring by specificity
+    (/root/reference/css/selector/selector.go) — ranking matches by an
+    exact integer key rather than a float weight."""
+    m = df_map_row(stats_df if stats_df is not None else df, tokens)
+    staged = df.crossJoin(F.broadcast(m)).withColumn(
+        "__t", _tokens_nonnull(tokens)
+    )
+    scored = F.transform(
+        F.array_distinct(F.col("__t")),
+        lambda t: F.struct(
+            (F.size(F.array_remove(F.col("__t"), t)) - F.size(F.col("__t")))
+            .alias("ntf"),
+            F.element_at(F.col("__dfmap"), t).alias("df"),
+            t.alias("token"),
+        ),
+    )
+    csv = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(scored), 1, k),
+            lambda s: F.concat_ws(
+                ":",
+                s["token"].cast("string"),
+                (-s["ntf"]).cast("string"),
+                s["df"].cast("string"),
+            ),
+        ),
+        ",",
+    )
+    return staged.withColumn(out, F.coalesce(csv, F.lit(""))).drop(
+        "__t", "__dfmap"
+    )
+
+
+def distinctive_tokens_ctes(
+    rel: str = "doc",
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+    k: int = 5,
+) -> str:
+    """DuckDB twin as chained CTEs ending in ``tk_csv`` —
+    (``id_col``, top_tokens_csv). LEFT JOIN it back to ``rel`` and
+    COALESCE to '' (docs with no countable tokens produce no row)."""
+    return f"""
+        tk_tf AS (
+            SELECT {id_col}, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM {rel}, unnest({tokens_nonnull_sql(tokens)}) AS u(t)
+            GROUP BY 1, 2
+        ),
+        tk_df AS ({document_frequencies_sql(rel, tokens)}),
+        tk_ranked AS (
+            SELECT {id_col}, token, tf, df,
+                   row_number() OVER (
+                       PARTITION BY {id_col}
+                       ORDER BY tf DESC, df ASC, token ASC) AS rk
+            FROM tk_tf JOIN tk_df USING (token)
+        ),
+        tk_csv AS (
+            SELECT {id_col},
+                   string_agg(token || ':' || tf || ':' || df,
+                              ',' ORDER BY rk) AS top_tokens_csv
+            FROM tk_ranked WHERE rk <= {k} GROUP BY 1
+        )
+    """

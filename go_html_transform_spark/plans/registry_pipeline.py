@@ -31,6 +31,7 @@ from go_html_transform_spark.sources import tables as S
     _cte(
         f"""
         , {BP.remove_boilerplate_ctes('doc')}
+        , {SK.distinctive_tokens_ctes('doc')}
         SELECT doc_id,
                {TX.lang_id_sql()} AS lang_pred,
                {TX.quality_score_ppm_sql()} AS quality_ppm,
@@ -39,8 +40,9 @@ from go_html_transform_spark.sources import tables as S
                {TX.regex_token_count_sql()} AS regex_tokens,
                {TX.fingerprint_sql('tokens')} AS fp,
                bp_removed,
-               {TX.fingerprint_sql(TK.tokens_sql('cleaned'))} AS bp_fp
-        FROM bp_clean
+               {TX.fingerprint_sql(TK.tokens_sql('cleaned'))} AS bp_fp,
+               COALESCE(top_tokens_csv, '') AS top_tokens_csv
+        FROM bp_clean LEFT JOIN tk_csv USING (doc_id)
         """
     ),
 )
@@ -63,8 +65,13 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       dropped; bp_fp fingerprints the re-tokenized cleaned text. The hot
       set folds to one broadcast array row, so this column adds a
       vocab-bounded aggregation subtree but ZERO corpus exchanges.
+    * top_tokens_csv — tf-idf-style keyword extraction
+      (sketches.distinctive_tokens): top-5 tokens by the exact-integer
+      (tf DESC, df ASC, token ASC) order statistic, "token:tf:df" CSV.
+      The corpus df table folds to one broadcast map row; ranking is
+      row-local array arithmetic — again ZERO corpus exchanges.
     """
-    doc = S.documents_tokenized(spark, sf_dir)
+    doc = SK.distinctive_tokens(S.documents_tokenized(spark, sf_dir), k=5)
     clean = BP.remove_boilerplate(doc, "text", out_col="__clean")
     return clean.select(
         "doc_id",
@@ -76,6 +83,7 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.fingerprint(F.col("tokens")).alias("fp"),
         "bp_removed",
         TX.fingerprint(TK.tokens_expr(F.col("__clean"))).alias("bp_fp"),
+        "top_tokens_csv",
     )
 
 

@@ -236,6 +236,16 @@ def test_sketch_twins_random_corpus(spark, duck):
         SK.bigram_counts(df).orderBy("a", "b"),
         duck.sql(f"SELECT * FROM ({SK.bigram_counts_sql('skcorp')}) ORDER BY a, b"),
     )
+    _strict(
+        SK.distinctive_tokens(df, k=4)
+        .select("id", "top_tokens_csv")
+        .orderBy("id"),
+        duck.sql(
+            f"WITH {SK.distinctive_tokens_ctes('skcorp', id_col='id', k=4)} "
+            "SELECT id, COALESCE(top_tokens_csv, '') AS top_tokens_csv "
+            "FROM skcorp LEFT JOIN tk_csv USING (id) ORDER BY id"
+        ),
+    )
 
 
 def test_boilerplate_and_lm_twins_adversarial(spark, duck):

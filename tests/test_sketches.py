@@ -205,3 +205,57 @@ def test_kmv_over_shingles_plan(spark, dirty_df):
     assert plan.count("Exchange") == 1, plan
     rows = [r.h for r in kmv.collect()]
     assert rows == sorted(rows)
+
+
+def test_distinctive_tokens_parity_and_ranking(dirty_df, duck):
+    """tf-idf-style keyword CSV matches DuckDB bit-for-bit on dirty data
+    (NULL elements skipped; empty/NULL arrays -> ''), and the ranking is
+    the exact (tf DESC, df ASC, token ASC) order."""
+    got = _rows(
+        SK.distinctive_tokens(dirty_df, k=2).select("doc_id", "top_tokens_csv")
+    )
+    want = _duck_rows(
+        duck,
+        f"WITH {SK.distinctive_tokens_ctes('rel', k=2)} "
+        "SELECT doc_id, COALESCE(top_tokens_csv, '') AS top_tokens_csv "
+        "FROM rel LEFT JOIN tk_csv USING (doc_id)",
+    )
+    assert got == want
+    by_id = dict(got)
+    # d0 = [1,2,2,3,NULL,2]: token 2 tf=3 wins; 1 vs 3 tie on tf=1
+    # breaks on df (1 appears in 2 docs, 3 in 3) -> 1 ranks ahead
+    assert by_id["d0"] == "2:3:2,1:1:2"
+    assert by_id["d2"] == "" and by_id["d3"] == ""  # empty + NULL arrays
+
+
+def test_distinctive_tokens_stats_df_decouples_idf(spark):
+    """df map can come from a different (larger) relation than the one
+    being annotated — pre-cleaning stats applied to a cleaned corpus."""
+    stats = spark.createDataFrame(
+        [("s0", [1, 2]), ("s1", [2]), ("s2", [2])],
+        "doc_id string, tokens array<int>",
+    )
+    target = spark.createDataFrame(
+        [("t0", [1, 2])], "doc_id string, tokens array<int>"
+    )
+    row = (
+        SK.distinctive_tokens(target, k=2, stats_df=stats)
+        .select("top_tokens_csv")
+        .first()
+    )
+    # same tf=1 for both; df from STATS corpus (1 -> df 1, 2 -> df 3)
+    assert row[0] == "1:1:1,2:1:3"
+
+
+def test_distinctive_tokens_corpus_never_exchanges(dirty_df):
+    """The annotated corpus side must be exchange-free: the only
+    hashpartitioning lives in the vocab-bounded df-map subtree (groupBy
+    token) — a doc-keyed exchange would be a second one outside it."""
+    p = (
+        SK.distinctive_tokens(dirty_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
