@@ -18,6 +18,7 @@ from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import sampling as SAM
 from go_html_transform_spark.operators import sharding as SH
 from go_html_transform_spark.operators import sketches as SK
+from go_html_transform_spark.operators import spandedup as SP
 from go_html_transform_spark.plans.registry import _cte, register
 from go_html_transform_spark.sources import tables as S
 
@@ -404,6 +405,10 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'lm_doc', CAST(doc_id[2:] AS INTEGER),
                CAST(lm_pairs AS INTEGER), lm_sum
         FROM ({SK.bigram_lm_stats_sql('doc')})
+        UNION ALL
+        SELECT 'span_dedup', CAST(doc_id[2:] AS INTEGER),
+               n_spans_removed, kept_sum
+        FROM ({SP.span_dedup_stats_sql('doc', n=8)})
         """
     ),
 )
@@ -432,6 +437,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (sketches.bigram_lm_stats): k1 = numeric doc id, k2 = adjacent
       pairs, cnt = summed corpus bigram counts (lm_avg = cnt/k2 is
       implied exactly)
+    * span_dedup — substring-level exact span dedup
+      (operators/spandedup.py): every corpus-duplicated 8-token span
+      keeps its (id, pos)-smallest occurrence, other occurrences are
+      removed; k1 = numeric doc id, k2 = spans removed from the doc,
+      cnt = exact int64 token-sum checksum of the surviving tokens.
+      Span explode is narrow; ranking is one 8-byte-key exchange
 
     Every count is exact-integer; each batch-sketch plan is a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
@@ -490,6 +501,20 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lm_pairs").cast("int").alias("k2"),
         F.col("lm_sum").alias("cnt"),
     )
+    span = (
+        SP.remove_duplicated_spans(doc.select("doc_id", "tokens"), n=8)
+        .filter(F.col("n_spans_removed") > 0)
+        .select(
+            F.lit("span_dedup").alias("variant"),
+            F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+            F.col("n_spans_removed").cast("int").alias("k2"),
+            F.aggregate(
+                "tokens_span_deduped",
+                F.lit(0).cast("long"),
+                lambda a, t: a + F.coalesce(t.cast("long"), F.lit(0)),
+            ).alias("cnt"),
+        )
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -498,4 +523,5 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kmv)
         .unionByName(bp_hot)
         .unionByName(lm_doc)
+        .unionByName(span)
     )
