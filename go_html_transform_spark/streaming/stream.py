@@ -323,6 +323,63 @@ def streaming_token_stats(
     )
 
 
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key_col: str = "doc_id",
+    left_time: str = "event_time",
+    right_time: str = "obs_time",
+    lower_seconds: int = 0,
+    upper_seconds: int = 3600,
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM time-bounded join: pair each left event with every
+    right event of the same key landing inside
+    ``[left_time + lower, left_time + upper)`` — the unbounded twin of
+    operators/rangejoin.range_join (batch oracle:
+    range_join_click_windows†), and the canonical Structured Streaming
+    stateful join.
+
+    Both sides carry watermarks and the join condition carries an
+    explicit event-time range, which is exactly what lets Spark bound
+    the join state: left rows are evicted once the right watermark
+    passes ``left_time + upper``, right rows once the left watermark
+    passes ``right_time - lower`` — state is (arrival rate x horizon),
+    independent of total stream length. Without the range condition the
+    state would grow forever; this operator makes it impossible to omit.
+
+    Interval arithmetic is µs-exact (timestamp + INTERVAL SECOND), the
+    same half-open [start, end) contract as the batch range join, so an
+    availableNow drain equals the batch inequality join row-for-row
+    (tests/test_multimodal_streaming.py).
+
+    Scale notes: the stream-stream join shuffles both sides by key —
+    a hot key concentrates state on one task. AQE cannot re-plan a
+    running stream, so for viral keys pre-compose the key with a coarse
+    time bucket on BOTH sides (the range_join bucketization pattern)
+    before calling this; watermark slack directly multiplies state size,
+    so keep it at the real late-data bound."""
+    l = left_stream.withColumn(
+        left_time, F.col(left_time).cast("timestamp")
+    ).withWatermark(left_time, left_watermark)
+    r = right_stream.withColumn(
+        right_time, F.col(right_time).cast("timestamp")
+    ).withWatermark(right_time, right_watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (
+            r[right_time]
+            >= l[left_time] + F.expr(f"INTERVAL {lower_seconds} SECOND")
+        )
+        & (
+            r[right_time]
+            < l[left_time] + F.expr(f"INTERVAL {upper_seconds} SECOND")
+        )
+    )
+    return l.join(r, cond, "inner").drop(r[key_col])
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str | None = None
 ) -> DataFrame:

@@ -302,3 +302,53 @@ def test_streaming_cms_merges_with_batch_sketch(spark):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in whole.collect()
     )
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """availableNow drain of the stream-stream time-bounded join equals
+    the batch inequality join with the same half-open µs contract —
+    including boundary rows at exactly lower/upper offsets."""
+    import datetime as dt
+    import random
+
+    BASE = dt.datetime(2026, 1, 1)
+    rng = random.Random(11)
+    left = [
+        (f"d{i % 6:03d}", BASE + dt.timedelta(seconds=rng.randrange(0, 20000)), i)
+        for i in range(200)
+    ]
+    right = [
+        (f"d{i % 8:03d}", BASE + dt.timedelta(seconds=rng.randrange(0, 20000)), float(i))
+        for i in range(150)
+    ]
+    # exact-boundary pairs: right at left+0 (kept) and left+3600 (dropped)
+    left.append(("dBB", BASE, 900))
+    right.append(("dBB", BASE, 9.0))
+    right.append(("dBB", BASE + dt.timedelta(seconds=3600), 10.0))
+    l = spark.createDataFrame(left, "doc_id string, event_time timestamp, eid int")
+    r = spark.createDataFrame(right, "doc_id string, obs_time timestamp, rv double")
+
+    cond = (
+        (l["doc_id"] == r["doc_id"])
+        & (r["obs_time"] >= l["event_time"])
+        & (r["obs_time"] < l["event_time"] + F.expr("INTERVAL 3600 SECOND"))
+    )
+    want = sorted(
+        (x.doc_id, x.event_time, x.eid, x.obs_time, x.rv)
+        for x in l.join(r, cond).drop(r["doc_id"]).collect()
+    )
+    assert any(w[0] == "dBB" for w in want)  # lower boundary kept
+    assert all(not (w[0] == "dBB" and w[4] == 10.0) for w in want)  # upper dropped
+
+    lsrc, rsrc = str(tmp_path / "ij_l"), str(tmp_path / "ij_r")
+    l.coalesce(2).write.parquet(lsrc)
+    r.coalesce(2).write.parquet(rsrc)
+    ls = spark.readStream.schema(l.schema).parquet(lsrc)
+    rs = spark.readStream.schema(r.schema).parquet(rsrc)
+    out = ST.streaming_interval_join(ls, rs, upper_seconds=3600)
+    assert out.isStreaming
+    got_df = ST.run_available_now(out, "interval_join", output_mode="append")
+    got = sorted(
+        (x.doc_id, x.event_time, x.eid, x.obs_time, x.rv) for x in got_df.collect()
+    )
+    assert got == want
