@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_html_transform_spark.functions import redact as RD
+from go_html_transform_spark.functions import repetition as REP
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.functions import tokenize as TK
 from go_html_transform_spark.operators import boilerplate as BP
@@ -42,7 +44,13 @@ from go_html_transform_spark.sources import tables as S
                {TX.fingerprint_sql('tokens')} AS fp,
                bp_removed,
                {TX.fingerprint_sql(TK.tokens_sql('cleaned'))} AS bp_fp,
-               COALESCE(top_tokens_csv, '') AS top_tokens_csv
+               COALESCE(top_tokens_csv, '') AS top_tokens_csv,
+               {REP.repetition_sql('tokens', 2)[0]} AS rep2_dup_ppm,
+               {REP.repetition_sql('tokens', 2)[1]} AS rep2_top_ppm,
+               {REP.repetition_sql('tokens', 3)[0]} AS rep3_dup_ppm,
+               {REP.repetition_sql('tokens', 3)[1]} AS rep3_top_ppm,
+               {RD.pii_hits_sql('text')} AS pii_hits,
+               CAST(length({RD.redact_pii_sql('text')}) AS INTEGER) AS red_len
         FROM bp_clean LEFT JOIN tk_csv USING (doc_id)
         """
     ),
@@ -71,9 +79,21 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (tf DESC, df ASC, token ASC) order statistic, "token:tf:df" CSV.
       The corpus df table folds to one broadcast map row; ranking is
       row-local array arithmetic — again ZERO corpus exchanges.
+    * rep2_dup_ppm / rep2_top_ppm / rep3_dup_ppm / rep3_top_ppm —
+      Gopher-style within-document repetition filters
+      (functions/repetition.py): duplicate n-gram fraction and top
+      n-gram mass over the token array, exact integer ppm, row-local
+      sorted-run decomposition — ZERO shuffle, ZERO UDF.
+    * pii_hits / red_len — PII-pattern redaction (functions/redact.py):
+      url/email/ipv4/digit-run placeholders via a sequential
+      regexp_replace chain in the shared Java-regex/RE2 dialect; hit
+      count + redacted length are the hash-checked evidence (this corpus
+      is PII-free, so pii_hits == 0 and red_len == n_chars are PINNED —
+      the planted-PII behavior is pinned by tests/test_redact.py).
     """
     doc = SK.distinctive_tokens(S.documents_tokenized(spark, sf_dir), k=5)
     clean = BP.remove_boilerplate(doc, "text", out_col="__clean")
+    clean = REP.with_repetition(REP.with_repetition(clean, "tokens", 2), "tokens", 3)
     return clean.select(
         "doc_id",
         TX.lang_id(F.col("text")).alias("lang_pred"),
@@ -85,6 +105,12 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bp_removed",
         TX.fingerprint(TK.tokens_expr(F.col("__clean"))).alias("bp_fp"),
         "top_tokens_csv",
+        "rep2_dup_ppm",
+        "rep2_top_ppm",
+        "rep3_dup_ppm",
+        "rep3_top_ppm",
+        RD.pii_hits(F.col("text")).alias("pii_hits"),
+        F.length(RD.redact_pii(F.col("text"))).cast("int").alias("red_len"),
     )
 
 
