@@ -100,6 +100,78 @@ def time_rolling_count(
     return df.withColumn(out_col, F.count(F.lit(1)).over(w))
 
 
+def decayed_bucket_counts(
+    df: DataFrame,
+    bucket_seconds: int = 1800,
+    horizon: int = 4,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially time-decayed event count — the classic point-in-time
+    counter feature (decay 1/2 per ``bucket_seconds`` bucket, horizon
+    ``horizon`` buckets), as an EXACT fixed-point int64 scaled by
+    2^(horizon-1):
+
+        decayed_fp = sum_{d=1..horizon} count(bucket - d) * 2^(horizon-d)
+
+    i.e. the previous bucket at full weight, each older bucket halved.
+    Powers of two keep the arithmetic exact in BOTH engines — no exp(),
+    no float, no cross-engine libm divergence (the quality_score_ppm
+    lesson applied to decay curves).
+
+    ZERO-LEAKAGE by construction: only STRICTLY-EARLIER buckets
+    contribute (d >= 1); events inside the current bucket — including the
+    row itself — never feed their own feature, so the feature is "as of
+    the start of the current bucket" and stable under late arrivals
+    within the bucket.
+
+    Plan shape: one exchange on ``partition_by`` + ONE sort on the bucket
+    id; the ``horizon`` RANGE frames ``[-d, -d]`` (exact single-bucket
+    lookbacks — count over an absent bucket is 0, not NULL) all share
+    that sort, and Catalyst collapses them into a single Window node.
+    No self-join, no pre-aggregation pass, no Python.
+    """
+    out_col = out_col or f"decayed_{bucket_seconds}s_fp"
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    width = bucket_seconds * 1_000_000
+    bkt = ((us - F.pmod(us, F.lit(width))) / F.lit(width)).cast("long")
+    tmp = f"__bkt_{out_col}"
+    out = df.withColumn(tmp, bkt)
+    total = F.lit(0).cast("long")
+    for d in range(1, horizon + 1):
+        w = (
+            Window.partitionBy(partition_by)
+            .orderBy(F.col(tmp))
+            .rangeBetween(-d, -d)
+        )
+        total = total + F.count(F.lit(1)).over(w) * F.lit(
+            1 << (horizon - d)
+        ).cast("long")
+    return out.withColumn(out_col, total).drop(tmp)
+
+
+def decayed_bucket_counts_sql(
+    rel_time: str = "event_time",
+    partition_by: str = "doc_id",
+    bucket_seconds: int = 1800,
+    horizon: int = 4,
+) -> str:
+    """DuckDB twin of :func:`decayed_bucket_counts` as a single SELECT
+    expression over a relation exposing ``{partition_by}`` and a bucket
+    column precomputed as ``__bkt`` (integer floor-division of epoch_us)."""
+    width = bucket_seconds * 1_000_000
+    terms = []
+    for d in range(1, horizon + 1):
+        terms.append(
+            f"CAST(COUNT(*) OVER (PARTITION BY {partition_by} ORDER BY __bkt "
+            f"RANGE BETWEEN {d} PRECEDING AND {d} PRECEDING) AS BIGINT)"
+            f" * {1 << (horizon - d)}"
+        )
+    _ = width  # width is baked into __bkt by the caller's CTE
+    return "(" + " + ".join(terms) + ")"
+
+
 def sessionize(
     df: DataFrame,
     gap_seconds: int = 1800,

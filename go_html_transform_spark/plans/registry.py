@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_html_transform_spark.operators import transforms as X
+from go_html_transform_spark.operators import window as W
 from go_html_transform_spark.plans.pipeline import Transformer
 from go_html_transform_spark.sources import tables as S
 
@@ -555,28 +556,40 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_time_rolling_count",
     _cte(
-        """
-        SELECT event_id, CAST(cnt_3600s AS BIGINT) AS cnt_3600s
+        f"""
+        SELECT event_id, CAST(cnt_3600s AS BIGINT) AS cnt_3600s,
+               {{decayed}} AS decayed_1800s_fp
         FROM (
             -- exact-µs trailing window (no second-bucketing): matches the
             -- engine's unix_micros rangeBetween exactly
-            SELECT event_id,
+            SELECT event_id, doc_id,
+                   CAST(epoch_us(event_time) AS BIGINT) // 1800000000 AS __bkt,
                    COUNT(*) OVER (PARTITION BY doc_id
                                   ORDER BY CAST(epoch_us(event_time) AS BIGINT)
                                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                      AS cnt_3600s
             FROM seq
         )
-        """
+        """.format(decayed=W.decayed_bucket_counts_sql())
     ),
 )
 def window_time_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events per trailing hour per entity (rangeBetween on epoch secs)."""
+    """Events per trailing hour per entity (rangeBetween on epoch µs) +
+    the exact power-of-two time-decayed counter feature
+    (operators/window.decayed_bucket_counts: strictly-prior 1800s
+    buckets, horizon 4, fixed-point x8 — leak-free by construction)."""
     from go_html_transform_spark.operators import window as W
 
     seq = S.sequences(spark, sf_dir)
-    return W.time_rolling_count(seq, seconds=3600).select(
-        "event_id", F.col("cnt_3600s").cast("bigint").alias("cnt_3600s")
+    out = W.decayed_bucket_counts(
+        W.time_rolling_count(seq, seconds=3600),
+        bucket_seconds=1800,
+        horizon=4,
+    )
+    return out.select(
+        "event_id",
+        F.col("cnt_3600s").cast("bigint").alias("cnt_3600s"),
+        F.col("decayed_1800s_fp").alias("decayed_1800s_fp"),
     )
 
 

@@ -232,3 +232,109 @@ def test_resample_ffill_matches_duckdb(spark):
     assert got == want
     # leak-free: first tick of d0 sees only the first observation
     assert got[0] == ("d0", int(BASE.timestamp() * 1_000_000), 1.0)
+
+
+def test_decayed_bucket_counts_known_values(spark):
+    """decayed_fp = sum_{d=1..4} count(bucket-d) * 2^(4-d) over 1800s
+    buckets — hand-computed on a planted timeline, incl. a µs fraction."""
+    t = [
+        ("a", BASE + dt.timedelta(seconds=0), 1, 1.0),          # bucket B
+        ("a", BASE + dt.timedelta(seconds=10), 1, 1.0),         # bucket B
+        ("a", BASE + dt.timedelta(seconds=1800), 1, 1.0),       # B+1
+        ("a", BASE + dt.timedelta(seconds=3600, microseconds=5), 1, 1.0),  # B+2
+        ("a", BASE + dt.timedelta(seconds=9000), 1, 1.0),       # B+5
+        ("b", BASE + dt.timedelta(seconds=0), 1, 1.0),          # isolated
+    ]
+    df = _df(spark, t)
+    out = W.decayed_bucket_counts(df, bucket_seconds=1800, horizon=4)
+    got = {
+        (r.doc_id, r.event_time): r.decayed_1800s_fp for r in out.collect()
+    }
+    # bucket B rows: no prior buckets -> 0
+    assert got[("a", t[0][1])] == 0
+    assert got[("a", t[1][1])] == 0
+    # B+1: d=1 sees 2 events -> 2*8 = 16
+    assert got[("a", t[2][1])] == 16
+    # B+2: d=1 sees 1 (B+1) -> 8; d=2 sees 2 (B) -> 2*4=8 -> 16
+    assert got[("a", t[3][1])] == 16
+    # B+5: d=3 sees B+2 (1 -> 2), d=4 sees B+1 (1 -> 1) -> 3
+    assert got[("a", t[4][1])] == 3
+    assert got[("b", t[5][1])] == 0
+
+
+def test_decayed_bucket_counts_leak_free(spark):
+    """Events later in the SAME bucket (and any future bucket) must not
+    change a row's decayed feature — the strictly-prior-buckets contract."""
+    base_rows = [
+        ("a", BASE + dt.timedelta(seconds=0), 1, 1.0),
+        ("a", BASE + dt.timedelta(seconds=1800), 1, 1.0),
+    ]
+    extra = [
+        ("a", BASE + dt.timedelta(seconds=1900), 1, 1.0),  # same bucket, later
+        ("a", BASE + dt.timedelta(seconds=7200), 1, 1.0),  # future bucket
+    ]
+    f0 = {
+        (r.doc_id, r.event_time): r.decayed_1800s_fp
+        for r in W.decayed_bucket_counts(_df(spark, base_rows)).collect()
+    }
+    f1 = {
+        (r.doc_id, r.event_time): r.decayed_1800s_fp
+        for r in W.decayed_bucket_counts(_df(spark, base_rows + extra)).collect()
+        if (r.doc_id, r.event_time) in f0
+    }
+    assert f0 == f1
+
+
+def test_decayed_bucket_counts_matches_duckdb(spark):
+    """Cross-engine parity of the RANGE [-d,-d] frame composition on a
+    randomized timeline with µs fractions."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(9)
+    rows = [
+        (
+            f"e{rng.randrange(3)}",
+            BASE + dt.timedelta(seconds=rng.randrange(0, 20000),
+                                microseconds=rng.randrange(0, 1000000)),
+            1,
+            1.0,
+        )
+        for _ in range(200)
+    ]
+    df = _df(spark, rows)
+    eng = {
+        (r.doc_id, r.event_time): r.decayed_1800s_fp
+        for r in W.decayed_bucket_counts(df).collect()
+    }
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE ev (doc_id VARCHAR, event_time TIMESTAMP)"
+    )
+    duck.executemany("INSERT INTO ev VALUES (?, ?)", [(r[0], r[1]) for r in rows])
+    sql = W.decayed_bucket_counts_sql()
+    ora = duck.sql(
+        f"""
+        SELECT doc_id, event_time, {sql} AS fp FROM (
+          SELECT doc_id, event_time,
+                 CAST(epoch_us(event_time) AS BIGINT) // 1800000000 AS __bkt
+          FROM ev)
+        """
+    ).fetchall()
+    assert len(ora) == len(eng)
+    for doc_id, event_time, fp in ora:
+        assert eng[(doc_id, event_time)] == fp, (doc_id, event_time)
+
+
+def test_decayed_bucket_counts_plan(spark, tiny):
+    """One exchange, one sort: the horizon RANGE frames share a single
+    Window node (same partition/order) — no self-join, no extra shuffle."""
+    plan = (
+        W.decayed_bucket_counts(tiny)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
