@@ -1,0 +1,139 @@
+"""Snapshot-manifest table layer (sources/manifest_table.py): snapshot
+isolation + time travel, footer-stats file pruning (soundness AND that it
+actually prunes), atomic commit semantics, and lineage integration."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.sources.manifest_table import ManifestTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "tbl"))
+
+
+def _range_df(spark, lo, hi, parts=2):
+    return (
+        spark.range(lo, hi, 1, parts)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("doc_id"),
+            (F.col("id") * 10).alias("ts_us"),
+        )
+    )
+
+
+def test_append_time_travel_and_counts(spark, table):
+    s1 = table.append(_range_df(spark, 0, 100), stats_cols=["event_id", "ts_us"])
+    s2 = table.append(_range_df(spark, 100, 250), stats_cols=["event_id", "ts_us"])
+    assert (s1, s2) == (1, 2)
+    assert table.current_snapshot_id() == 2
+    # manifest row counts are exact without running a job
+    assert table.row_count(snapshot=1) == 100
+    assert table.row_count(snapshot=2) == 250
+    # time travel: snapshot 1 still reads only the first commit
+    assert table.scan(spark, snapshot=1).count() == 100
+    assert table.scan(spark).count() == 250
+    got = sorted(
+        r.event_id for r in table.scan(spark, snapshot=1).collect()
+    )
+    assert got == list(range(100))
+
+
+def test_overwrite_keeps_old_snapshots_readable(spark, table):
+    table.append(_range_df(spark, 0, 50))
+    table.overwrite(_range_df(spark, 1000, 1010))
+    assert table.scan(spark).count() == 10
+    assert table.scan(spark, snapshot=1).count() == 50
+
+
+def test_file_pruning_is_sound_and_effective(spark, table):
+    # four appends over disjoint event_id ranges -> disjoint file stats
+    for lo in (0, 1000, 2000, 3000):
+        table.append(
+            _range_df(spark, lo, lo + 500, parts=2),
+            stats_cols=["event_id"],
+        )
+    all_files = table.files()
+    pruned = table.files(prune={"event_id": (2100, 2200)})
+    # effective: only the files of the third commit can overlap
+    assert 0 < len(pruned) < len(all_files)
+    # sound: pruned scan + real filter == full scan + real filter
+    full = (
+        table.scan(spark)
+        .filter(F.col("event_id").between(2100, 2200))
+        .count()
+    )
+    fast = (
+        table.scan(spark, prune={"event_id": (2100, 2200)})
+        .filter(F.col("event_id").between(2100, 2200))
+        .count()
+    )
+    assert full == fast == 101
+    # open bounds
+    assert len(table.files(prune={"event_id": (3400, None)})) < len(all_files)
+    # a column with no recorded stats never prunes
+    assert len(table.files(prune={"doc_id": (99, 99)})) == len(all_files)
+
+
+def test_string_stats_prune(spark, table):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "source string, v int"
+    ).repartition(1)
+    table.append(df, stats_cols=["source"])
+    df2 = spark.createDataFrame(
+        [("x", 3), ("y", 4)], "source string, v int"
+    ).repartition(1)
+    table.append(df2, stats_cols=["source"])
+    assert len(table.files(prune={"source": ("x", "z")})) == 1
+
+
+def test_atomic_pointer_torn_writer(spark, table):
+    """A writer that dies after writing data but BEFORE the pointer swap
+    leaves the table at the previous snapshot (orphaned files invisible)."""
+    table.append(_range_df(spark, 0, 10))
+    # simulate the torn write: data + manifest exist, VERSION not swapped
+    files = table._write_data(_range_df(spark, 10, 20), None)
+    snap = table.current_snapshot_id()
+    # (no _commit call) — readers still see snapshot 1
+    assert table.current_snapshot_id() == snap == 1
+    assert table.scan(spark).count() == 10
+    assert all(os.path.exists(f.path) for f in files)  # orphaned, not live
+
+
+def test_empty_prune_result_yields_empty_frame(spark, table):
+    table.append(_range_df(spark, 0, 10), stats_cols=["event_id"])
+    out = table.scan(spark, prune={"event_id": (10_000, 20_000)})
+    assert out.count() == 0
+    assert "event_id" in out.columns
+
+
+def test_lineage_snapshot_integration(spark, table, tmp_path):
+    """The manifest snapshot id is the lineage snapshot_id: re-running a
+    stage over the SAME snapshot resumes (no pending buckets); a new
+    append bumps the snapshot and the stage reprocesses."""
+    from go_html_transform_spark.plans.lineage import CheckpointTable
+
+    table.append(_range_df(spark, 0, 100))
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+    snap1 = str(table.current_snapshot_id())
+    sink = str(tmp_path / "sink")
+
+    src = table.scan(spark).withColumnRenamed("event_id", "id")
+    n = ckpt.run_stage(src, "stage_a", sink, key="id", snapshot_id=snap1)
+    assert n == 100
+    # same snapshot: fully resumed, nothing to do
+    assert ckpt.run_stage(src, "stage_a", sink, key="id",
+                          snapshot_id=snap1) == 0
+    # new data -> new snapshot id -> the stage reprocesses cleanly
+    table.append(_range_df(spark, 100, 120))
+    snap2 = str(table.current_snapshot_id())
+    src2 = table.scan(spark).withColumnRenamed("event_id", "id")
+    assert snap2 != snap1
+    assert ckpt.run_stage(src2, "stage_a", str(tmp_path / "sink2"),
+                          key="id", snapshot_id=snap2) == 120
