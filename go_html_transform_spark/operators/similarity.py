@@ -390,3 +390,183 @@ def lloyd_cte_sql(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
               FROM lc{i} c LEFT JOIN lm{i} m ON c.cid = m.cid)"""
         )
     return ",\n".join(parts), f"la{iters}"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (dim 64 -> 16 dims each)
+PQ_KSUB = 16  # codes per subspace -> 4 bits; packed code fits 16 bits
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic per-subspace codebooks: the ksub lowest-id vectors'
+    subvectors seed subspace j's codes (the ivf_centroids convention —
+    production would k-means each subspace; seeding pins the DuckDB
+    oracle to the identical encoding). Driver-side: m*ksub*(dim/m)
+    doubles — a few KB, broadcast as literals."""
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    return [
+        [(code, vec[j * ds : (j + 1) * ds]) for code, vec in rows]
+        for j in range(m)
+    ]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sum of squared differences, left-to-right fold (the order every
+    engine twin reproduces — float determinism depends on it)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    codes_col: str | None = None,
+) -> DataFrame:
+    """PQ-encode every vector — ZERO shuffle, zero Python: per subspace
+    the argmin-L2 code is an array_min over ksub (dist, code) structs
+    (struct ordering = dist asc, code asc — the deterministic tie-break),
+    all codebook entries inlined as literals. The packed code is
+    sum(code_j * ksub^j): 4 subspaces x 16 codes = 16 bits — a 64-dim
+    float32 vector (256 B) compresses to 2 B, the layout that lets a
+    10^12-vector index live in cluster RAM for ADC scans.
+
+    ``codes_col`` optionally also emits the unpacked array<int>."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    v = F.col(vec_col).cast("array<double>")
+    ds = len(codebooks[0][0][1])
+    code_exprs = []
+    for j in range(m):
+        sub = F.slice(v, j * ds + 1, ds)
+        scored = F.array(
+            *[
+                F.struct(
+                    _l2sq(sub, _lit_vec(cv)).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cv in codebooks[j]
+            ]
+        )
+        code_exprs.append(F.array_min(scored)["code"])
+    packed = F.lit(0)
+    for j in range(m):
+        packed = packed + code_exprs[j] * F.lit(ksub**j)
+    out = emb.withColumn(out_col, packed.cast("int"))
+    if codes_col:
+        out = out.withColumn(codes_col, F.array(*code_exprs))
+    return out
+
+
+def pq_l2sq_sql(a: str, b: str) -> str:
+    """DuckDB twin of _l2sq (same index order; list_sum over doubles
+    matches the engine's left fold — the _IVF_COS precedent)."""
+    return (
+        f"list_sum(list_transform(range(len({a})), "
+        f"i -> (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))"
+        f" * (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))))"
+    )
+
+
+def pq_encode_cte_sql(
+    m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64
+) -> str:
+    """CTE chain ending in ``pqe`` (vec_id, j, code): the exact encoding
+    pq_encode produces, from the same seeded codebooks."""
+    ds = dim // m
+    sv = f"e.embedding[p.j*{ds}+1 : p.j*{ds}+{ds}]"
+    return f"""
+    pqc AS (
+      SELECT j, vec_id AS code,
+             embedding[j*{ds}+1 : j*{ds}+{ds}] AS cvec
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+      WHERE vec_id < {ksub}),
+    pqe AS (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, p.j, p.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, p.j
+                 ORDER BY {pq_l2sq_sql(sv, 'p.cvec')} ASC, p.code
+               ) AS rk
+        FROM embeddings e CROSS JOIN pqc p
+      ) WHERE rk = 1)
+    """
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k with exact rescore —
+    the standard PQ search architecture:
+
+    1. driver-side distance tables dt[j][code] = l2sq(q_sub_j, c_{j,code})
+       (m*ksub doubles, inlined as literals);
+    2. approximate distance per vector = sum_j dt[j][code_j] — pure array
+       element_at over the PQ codes, no float vector math on the corpus;
+    3. TakeOrdered the best ``rerank`` candidates by (adc, id);
+    4. exact-cosine rescore of the candidates, top-k by (cos desc, id).
+
+    Single stage, no shuffle, no Python; at 10^12 vectors step 2 touches
+    2 bytes/vector instead of 256."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    ds = len(codebooks[0][0][1])
+    dts = []
+    for j in range(m):
+        qsub = [float(x) for x in query_vec[j * ds : (j + 1) * ds]]
+        row = []
+        for code, cv in codebooks[j]:
+            acc = 0.0
+            for x, y in zip(qsub, cv):
+                acc += (x - y) * (x - y)
+            row.append(acc)
+        dts.append(row)
+    enc = pq_encode(emb, codebooks, vec_col=vec_col, codes_col="__codes")
+    adc = F.lit(0.0)
+    for j in range(m):
+        table = F.array(*[F.lit(d) for d in dts[j]])
+        adc = adc + F.element_at(table, F.element_at("__codes", j + 1) + 1)
+    cand = (
+        enc.withColumn("__adc", adc)
+        .orderBy(F.asc("__adc"), F.col(id_col))
+        .limit(rerank)
+    )
+    q = _lit_vec([float(x) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )

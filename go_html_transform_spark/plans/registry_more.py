@@ -306,12 +306,20 @@ from go_html_transform_spark.operators.similarity import lsh_bucket_sql as _lsh_
 _LSH_BUCKET = _lsh_sql("embedding", 8)
 _LLOYD_BODY, _LLOYD_FINAL = _lloyd_sql(k=8, iters=2, dim=64)
 
+from go_html_transform_spark.operators.similarity import (
+    pq_encode_cte_sql as _pq_sql,
+)
+
+# pq_encode_cte_sql returns "pqc AS (...), pqe AS (...)" — strip for WITH
+_PQ_ENCODE_CTE = _pq_sql(m=4, ksub=16, dim=64).strip()
+
 
 @register(
     "sim_bucket_stats",
     f"""
     WITH {_IVF_ASSIGN_CTE},
-    {_LLOYD_BODY}
+    {_LLOYD_BODY},
+    {_PQ_ENCODE_CTE}
     SELECT 'ivf' AS variant, CAST(cid AS INTEGER) AS bucket, COUNT(*) AS n
     FROM a GROUP BY cid
     UNION ALL
@@ -322,6 +330,10 @@ _LLOYD_BODY, _LLOYD_FINAL = _lloyd_sql(k=8, iters=2, dim=64)
     UNION ALL
     SELECT 'ivf_lloyd2' AS variant, CAST(cid AS INTEGER) AS bucket, COUNT(*) AS n
     FROM {_LLOYD_FINAL} GROUP BY cid
+    UNION ALL
+    SELECT 'pq' AS variant, CAST(j * 16 + code AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM pqe GROUP BY 1, 2
     """,
 )
 def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +350,11 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       similarity.lloyd_refine).
     * lsh — sign-LSH bucket histogram (8 deterministic hyperplanes -> 256
       buckets), the bucketed ANN scale path's partitioning.
+    * pq — product-quantization code histogram per (subspace, code):
+      4 subspaces x 16 codes (seeded per-subspace codebooks, argmin-L2
+      struct-min — similarity.pq_encode). The encode is the zero-shuffle
+      map pass that compresses 256 B/vector to 2 B for ADC scans; the
+      histogram hash-checks the full encoding against DuckDB.
     """
     from go_html_transform_spark.operators import similarity as SIM
 
@@ -375,7 +392,18 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return ivf.unionByName(lsh).unionByName(lloyd)
+    pq = (
+        SIM.pq_encode(emb, SIM.pq_codebooks(emb), codes_col="__codes")
+        .select(F.posexplode("__codes").alias("j", "code"))
+        .groupBy("j", "code")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("pq").alias("variant"),
+            (F.col("j") * 16 + F.col("code")).cast("int").alias("bucket"),
+            "n",
+        )
+    )
+    return ivf.unionByName(lsh).unionByName(lloyd).unionByName(pq)
 
 
 @register(

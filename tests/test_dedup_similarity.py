@@ -435,3 +435,57 @@ def test_near_dedup_keep_canonical_end_to_end(spark, corpus):
     )
     kept = D.near_dedup_keep_canonical(corpus, pairs, "doc_id")
     assert {r.doc_id for r in kept.collect()} == {"d0", "d3", "d4"}
+
+
+def test_pq_encode_packing_and_brute_parity(spark):
+    """PQ codes: packed == sum(code_j * 16^j); every code argmins the
+    true subspace L2 (numpy brute force over the same seeded codebooks)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = SIM.pq_codebooks(emb, m=4, ksub=16)
+    enc = SIM.pq_encode(emb, books, codes_col="codes")
+    rows = enc.select("vec_id", "embedding", "pq_code", "codes").collect()
+    cb = [np.array([cv for _, cv in b]) for b in books]  # (16, 16) each
+    for r in rows[:200]:
+        v = np.array(r.embedding, dtype=np.float64)
+        packed = 0
+        for j in range(4):
+            sub = v[j * 16 : (j + 1) * 16]
+            d = ((cb[j] - sub) ** 2).sum(axis=1)
+            best = int(np.lexsort((np.arange(16), d))[0])
+            assert r.codes[j] == best, (r.vec_id, j)
+            packed += best * 16**j
+        assert r.pq_code == packed
+    # packed code fits 16 bits -> the 2-byte/vector memory contract
+    assert enc.agg(F.max("pq_code")).collect()[0][0] < 1 << 16
+
+
+def test_pq_adc_topk_recall_and_plan(spark):
+    """ADC + exact rescore: with rerank covering the whole corpus the
+    result EQUALS brute force (rescore is exact); with a tight rerank
+    budget recall stays useful. Plan: no exchange, no Python."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = SIM.pq_codebooks(emb)
+    qv = list(emb.filter("vec_id = 0").collect()[0].embedding)
+    n = emb.count()
+    exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in SIM.pq_adc_topk(emb, qv, books, k=10, rerank=n).collect()
+    ]
+    assert full == exact
+    approx = [
+        r.vec_id
+        for r in SIM.pq_adc_topk(emb, qv, books, k=10, rerank=50).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3, (approx, exact)
+    plan = (
+        SIM.pq_adc_topk(emb, qv, books, k=10, rerank=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan
