@@ -184,6 +184,70 @@ def length_histogram_sql(rel: str = "seq", n_tok: str = "n_tok") -> str:
     """
 
 
+def value_quantiles(
+    df: DataFrame,
+    col: str = "n_tok",
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """(q_ppm, value): EXACT discrete quantiles (type-1 / quantile_disc:
+    the smallest v whose cumulative count reaches ceil(q*n)) over a
+    bounded integer domain, via value-histogram + running cumsum.
+
+    The scale answer for quantiles of a bounded column (n_tok lives in
+    [0, ~2^16]): one vocab-bounded partial-agg'd exchange builds the
+    histogram; the cumsum window then runs over |domain| rows — NOT the
+    corpus — so the single-partition window is a few-KB driver-scale
+    step, never a global sort of 10^12 rows. (For unbounded domains the
+    histogram step buckets first — same machinery as length_histogram.)
+    ceil is exact int64: (q*n + 999999) // 1e6, q*n <= 1e6 * 1e12."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+    cum = F.sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # window exprs FIRST, explode in a separate select: a Generate in the
+    # same projection multiplies rows before the Window runs, tripling
+    # every cum (found by the strict crosscheck — p50 landed one value off)
+    ranked = hist.select("v", cum.alias("cum"), total.alias("n"))
+    scored = ranked.select(
+        "v",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in qs_ppm])).alias("q_ppm"),
+    )
+    # exact integer ceil(q*n/1e6): (x - x%1e6)/1e6 on x = q*n + 999999
+    x = F.col("q_ppm").cast("long") * F.col("n") + F.lit(999_999)
+    thr = ((x - F.pmod(x, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+    return (
+        scored.filter(F.col("cum") >= thr)
+        .groupBy("q_ppm")
+        .agg(F.min("v").cast("long").alias("value"))
+    )
+
+
+def value_quantiles_sql(
+    rel: str = "seq",
+    col: str = "n_tok",
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> str:
+    qs = ", ".join(str(q) for q in qs_ppm)
+    return f"""
+        SELECT q_ppm, CAST(MIN(v) AS BIGINT) AS value
+        FROM (
+          SELECT v,
+                 CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER () AS BIGINT) AS n
+          FROM (SELECT {col} AS v, COUNT(*) AS c FROM {rel} GROUP BY 1)
+        ), unnest([{qs}]) AS u(q_ppm)
+        WHERE cum >= (q_ppm * n + 999999) // 1000000
+        GROUP BY q_ppm
+    """
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch
 # ---------------------------------------------------------------------------

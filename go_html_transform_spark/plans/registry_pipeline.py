@@ -435,6 +435,10 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'span_dedup', CAST(doc_id[2:] AS INTEGER),
                n_spans_removed, kept_sum
         FROM ({SP.span_dedup_stats_sql('doc', n=8)})
+        UNION ALL
+        SELECT 'ntok_quantiles', CAST(NULL AS INTEGER),
+               CAST(q_ppm AS INTEGER), value
+        FROM ({SK.value_quantiles_sql('seq')})
         """
     ),
 )
@@ -469,6 +473,11 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       removed; k1 = numeric doc id, k2 = spans removed from the doc,
       cnt = exact int64 token-sum checksum of the surviving tokens.
       Span explode is narrow; ranking is one 8-byte-key exchange
+    * ntok_quantiles — EXACT discrete p50/p90/p99 of n_tok
+      (sketches.value_quantiles): value-histogram + cumsum over the
+      BOUNDED domain — one vocab-bounded exchange, the cumsum window
+      runs over |domain| rows, never a global sort of the corpus;
+      k2 = q in ppm, cnt = the order statistic
 
     Every count is exact-integer; each batch-sketch plan is a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
@@ -541,6 +550,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cnt"),
         )
     )
+    quant = SK.value_quantiles(seq, "n_tok").select(
+        F.lit("ntok_quantiles").alias("variant"),
+        F.lit(None).cast("int").alias("k1"),
+        F.col("q_ppm").cast("int").alias("k2"),
+        F.col("value").alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -550,4 +565,5 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bp_hot)
         .unionByName(lm_doc)
         .unionByName(span)
+        .unionByName(quant)
     )

@@ -259,3 +259,44 @@ def test_distinctive_tokens_corpus_never_exchanges(dirty_df):
     )
     assert p.count("Exchange hashpartitioning") <= 1, p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_value_quantiles_exact_order_statistics(spark):
+    """quantile_disc semantics: smallest v with cum >= ceil(q*n); pinned
+    against python's exact order statistic on a skewed distribution,
+    plus edge quantiles and a single-value corpus."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    vals = [rng.choice([1] * 8 + [5, 9]) for _ in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], "n_tok int")
+    qs = (1, 250_000, 500_000, 900_000, 1_000_000)
+    got = {
+        r.q_ppm: r.value
+        for r in SK.value_quantiles(df, "n_tok", qs_ppm=qs).collect()
+    }
+    s = sorted(vals)
+    for q in qs:
+        k = max(1, math.ceil(q * len(s) / 1_000_000))
+        assert got[q] == s[k - 1], q
+    one = spark.createDataFrame([(7,)], "n_tok int")
+    assert {
+        r.value for r in SK.value_quantiles(one, "n_tok", qs_ppm=qs).collect()
+    } == {7}
+
+
+def test_value_quantiles_histogram_plan(spark):
+    """The corpus-side plan: ONE hashpartitioning exchange (the histogram
+    partial agg); the cumsum window only ever sees |domain| rows."""
+    df = spark.range(0, 10000).select((F.col("id") % 100).alias("n_tok"))
+    plan = (
+        SK.value_quantiles(df, "n_tok")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # histogram agg exchange + the tiny singleton window move + the final
+    # q groupBy; the corpus itself is exchanged exactly once
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
