@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def entity_window(
@@ -195,6 +196,48 @@ def sessionize(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str = "n_tok",
+    alpha: float = 0.5,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    tiebreak_col: str = "event_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average of ``value_col`` per entity —
+    the Arrow-backed pandas-UDF feature of the north-star bundle
+    (``applyInPandas`` over sorted entity timelines; the recursion
+    s_i = a*x_i + (1-a)*s_{i-1} has no bounded-window SQL form, so this
+    is the documented place Python IS the right tool — one vectorized
+    ``Series.ewm`` per entity batch, never per-row).
+
+    ZERO-LEAKAGE: the input is shifted by one row before the ewm, so row
+    i's feature aggregates values STRICTLY before i (ordered by
+    (time, tiebreak) — the deterministic total order). The first row of
+    each entity gets NULL (no history), matching lag/forward-fill
+    semantics. pandas ``adjust=True`` form: the finite-history weights
+    are renormalized, i.e. s = sum w_j x_j / sum w_j with w_j = (1-a)^j.
+
+    Scale shape: ONE exchange on the entity key; each group is a single
+    Arrow batch (hot entities bound the batch — pre-split giant entities
+    upstream exactly as add_features documents)."""
+    import pandas as pd
+
+    out_col = out_col or f"{value_col}_ewma"
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+        prior = pdf[value_col].astype("float64").shift(1)
+        pdf[out_col] = prior.ewm(alpha=alpha, adjust=True, ignore_na=False).mean()
+        return pdf
+
+    return df.groupBy(partition_by).applyInPandas(fn, schema)
 
 
 def forward_fill(

@@ -338,3 +338,72 @@ def test_decayed_bucket_counts_plan(spark, tiny):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ewma_matches_pandas_and_leak_free(spark):
+    """applyInPandas EWMA: (1) equals a pure-pandas groupby reference,
+    (2) NULL for each entity's first row, (3) zero temporal leakage
+    (future perturbation invariance), (4) plan = one exchange + Arrow
+    (FlatMapGroupsInPandas), no row-at-a-time Python."""
+    import math
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                f"e{rng.randrange(5)}",
+                BASE + dt.timedelta(seconds=rng.randrange(100000),
+                                    microseconds=rng.randrange(1000000)),
+                rng.randrange(100),
+                float(rng.randrange(10)),
+            )
+        )
+    # deterministic event ids for the tie-break: derive from row content
+    df = _df(spark, rows).withColumn(
+        "event_id", F.xxhash64("doc_id", "event_time", "n_tok")
+    )
+    out = W.ewma(df, "n_tok", alpha=0.3)
+    got = {
+        (r.doc_id, r.event_time, r.event_id): r.n_tok_ewma
+        for r in out.collect()
+    }
+    ref = pd.DataFrame(
+        [(r.doc_id, r.event_time, r.n_tok, r.event_id) for r in df.collect()],
+        columns=["doc_id", "event_time", "n_tok", "event_id"],
+    )
+    for ent, g in ref.groupby("doc_id"):
+        g = g.sort_values(["event_time", "event_id"], kind="mergesort")
+        exp = g["n_tok"].astype("float64").shift(1).ewm(
+            alpha=0.3, adjust=True
+        ).mean()
+        for (_, row), e in zip(g.iterrows(), exp):
+            k = (row.doc_id, row.event_time.to_pydatetime(), row.event_id)
+            gv = got[k]
+            if pd.isna(e):
+                assert gv is None or math.isnan(gv), k
+            else:
+                assert gv is not None and abs(gv - e) < 1e-12, k
+    # leak-freeness: multiply every value after a cutoff; earlier rows fixed
+    cutoff = BASE + dt.timedelta(seconds=50000)
+    pert = df.withColumn(
+        "n_tok",
+        F.when(F.col("event_time") > F.lit(cutoff), F.col("n_tok") * 100)
+        .otherwise(F.col("n_tok")),
+    )
+    got2 = {
+        (r.doc_id, r.event_time, r.event_id): r.n_tok_ewma
+        for r in W.ewma(pert, "n_tok", alpha=0.3).collect()
+        if r.event_time <= cutoff
+    }
+    for k, v in got2.items():
+        b = got[k]
+        assert (v is None and b is None) or abs(v - b) < 1e-12, k
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # after collect() AQE prints final + initial plans; count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "FlatMapGroupsInPandas" in final, final
