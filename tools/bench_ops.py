@@ -153,6 +153,23 @@ def main() -> None:
         D.exact_dedup(doc_big, "doc_id", F.col("text"))
     ))
 
+    from go_html_transform_spark.functions import redact as RD
+    from go_html_transform_spark.functions import repetition as REPK
+
+    timed("repetition_filters", n_doc_big, lambda: drain(
+        REPK.with_repetition(
+            REPK.with_repetition(doc_big.select("doc_id", "tokens"), "tokens", 2),
+            "tokens", 3,
+        )
+    ))
+    timed("pii_redact", n_doc_big, lambda: drain(
+        doc_big.select(
+            "doc_id",
+            RD.redact_pii(F.col("text")).alias("red"),
+            RD.pii_hits(F.col("text")).alias("hits"),
+        )
+    ))
+
     # --- corpus statistics / sketches (explode-heavy: throughput is docs/s
     # over the replicated corpus; shuffle is vocab- or sketch-bounded) ----
     from go_html_transform_spark.operators import sketches as SK
@@ -168,6 +185,9 @@ def main() -> None:
     ))
     timed("kmv_distinct_shingles", n_doc_big, lambda: drain(
         SK.kmv_sketch(doc_big, D.shingles3(F.col("tokens")))
+    ))
+    timed("ntok_quantiles", n_doc_big, lambda: drain(
+        SK.value_quantiles(doc_big, "n_tok")
     ))
 
     # --- corpus-composition ops ------------------------------------------
@@ -232,6 +252,26 @@ def main() -> None:
     )
     timed("resample_ffill_1h", n_ev_big, lambda: drain(
         resample_ffill(obs, ["value"], step_seconds=3600, partition_by="doc_id")
+    ))
+
+    from go_html_transform_spark.operators.window import (
+        decayed_bucket_counts,
+        ewma,
+    )
+
+    timed("decayed_counts", n_ev_big, lambda: drain(
+        decayed_bucket_counts(obs, bucket_seconds=1800, horizon=4)
+    ))
+    obs_id = obs.withColumn("event_id", F.xxhash64("doc_id", "event_time"))
+    timed("ewma_pandas", n_ev_big, lambda: drain(
+        ewma(obs_id, "value", alpha=0.3)
+    ))
+
+    from go_html_transform_spark.operators import similarity as SIM
+
+    pq_books = SIM.pq_codebooks(emb)
+    timed("pq_encode", n_emb, lambda: drain(
+        SIM.pq_encode(emb, pq_books).select("vec_id", "pq_code")
     ))
 
     # --- end-to-end corpus preparation (raw corpus: the near-dup stage's
