@@ -201,3 +201,57 @@ def text_analysis_arrow(col) -> Column:
     """struct<lang_pred, quality_ppm, ws_tokens, subword_tokens> computed
     in one Arrow batch pass."""
     return pandas_udf(_text_analysis_impl, _TA_FIELDS)(col)
+
+
+def _repetition_stats_impl(tokens: pd.Series) -> pd.DataFrame:
+    """numpy twin of functions/repetition.with_repetition for n in
+    {2, 3}: pack (20-bit masked) n-grams, count multiplicities with
+    np.unique, emit (dup_ppm, top_ppm) per n — exact integer ppm, same
+    NULL contract (None elements dropped, None array -> all zeros)."""
+    PPM = 1_000_000
+    MASK = (1 << 20) - 1
+    BASE = 1 << 20
+
+    def stats(arr, n):
+        if arr is None:
+            return 0, 0
+        # NULL elements arrive as NaN in a float64 Arrow batch (the
+        # minhash16 lesson); float64 holds int32 ids exactly
+        a = np.asarray(arr, dtype=np.float64)
+        t = a[~np.isnan(a)].astype(np.int64) & MASK
+        m = t.size - n + 1
+        if m <= 0:
+            return 0, 0
+        g = t[:m].copy()
+        for j in range(1, n):
+            g = g * BASE + t[j : j + m]
+        _, counts = np.unique(g, return_counts=True)
+        dup = int(counts[counts >= 2].sum())
+        top = int(counts.max())
+        return dup * PPM // m, top * PPM // m
+
+    out = {"rep2_dup_ppm": [], "rep2_top_ppm": [],
+           "rep3_dup_ppm": [], "rep3_top_ppm": []}
+    for arr in tokens:
+        d2, t2 = stats(arr, 2)
+        d3, t3 = stats(arr, 3)
+        out["rep2_dup_ppm"].append(d2)
+        out["rep2_top_ppm"].append(t2)
+        out["rep3_dup_ppm"].append(d3)
+        out["rep3_top_ppm"].append(t3)
+    return pd.DataFrame(out)
+
+
+_REP_FIELDS = (
+    "rep2_dup_ppm long, rep2_top_ppm long, rep3_dup_ppm long, "
+    "rep3_top_ppm long"
+)
+
+
+def repetition_arrow(col) -> Column:
+    """struct of all four repetition-filter stats in one Arrow batch pass
+    — the production fast path (BENCH/OPS.md: the expression form pays
+    the interpreted-HOF tax like text_analysis); the expression twin
+    (functions/repetition.py) stays the DuckDB oracle, per-row parity
+    pinned in tests/test_repetition.py."""
+    return pandas_udf(_repetition_stats_impl, _REP_FIELDS)(col)

@@ -90,3 +90,20 @@ def test_zero_exchange_plan(spark, corpus):
     out = R.with_repetition(R.with_repetition(df, "tokens", 2), "tokens", 3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_arrow_kernel_matches_expression_twin(spark, corpus):
+    """repetition_arrow (production fast path) per-row equals the
+    expression twin on the dirty corpus — incl. NULL arrays/elements."""
+    from go_html_transform_spark.functions import kernels as K
+
+    df = spark.createDataFrame(corpus, "id long, tokens array<int>")
+    expr = R.with_repetition(R.with_repetition(df, "tokens", 2), "tokens", 3)
+    arrow = df.select("id", K.repetition_arrow(F.col("tokens")).alias("s"))
+    a = {r["id"]: (r["rep2_dup_ppm"], r["rep2_top_ppm"],
+                   r["rep3_dup_ppm"], r["rep3_top_ppm"])
+         for r in expr.collect()}
+    b = {r["id"]: (r["s"]["rep2_dup_ppm"], r["s"]["rep2_top_ppm"],
+                   r["s"]["rep3_dup_ppm"], r["s"]["rep3_top_ppm"])
+         for r in arrow.collect()}
+    assert a == b

@@ -162,6 +162,9 @@ def main() -> None:
             "tokens", 3,
         )
     ))
+    timed("repetition_kernel", n_doc_big, lambda: drain(
+        doc_big.select("doc_id", K.repetition_arrow(F.col("tokens")).alias("r"))
+    ))
     timed("pii_redact", n_doc_big, lambda: drain(
         doc_big.select(
             "doc_id",
