@@ -137,3 +137,47 @@ def mix_weights_to_rates(
         else:
             rates[k] = min(PPM, round(total * active[k] / counts[k] * PPM))
     return rates
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+
+def assign_split(
+    key_num: Column,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    seed: int = 0,
+) -> Column:
+    """'train' | 'val' | 'test' from the same per-key uniform the
+    sampling layer uses: u < val_ppm -> val, u < val_ppm+test_ppm ->
+    test, else train. Deterministic per key (stable under partitioning,
+    retries, re-runs — a document can never leak between splits across
+    pipeline versions), disjoint and exhaustive by construction, and one
+    codegen'd CASE — no shuffle, no join.
+
+    Eval-set hygiene note: held-out splits get the same key-hash
+    treatment as sampling, so near-duplicate leakage across splits is
+    handled UPSTREAM by dedup/decontaminate — split assignment must stay
+    a pure function of the canonical doc key."""
+    u = _uniform_ppm(key_num, seed)
+    return (
+        F.when(u < F.lit(int(val_ppm)), F.lit("val"))
+        .when(u < F.lit(int(val_ppm + test_ppm)), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def assign_split_sql(
+    key_num: str,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    seed: int = 0,
+) -> str:
+    u = _uniform_ppm_sql(key_num, seed)
+    return (
+        f"(CASE WHEN {u} < {int(val_ppm)} THEN 'val' "
+        f"WHEN {u} < {int(val_ppm + test_ppm)} THEN 'test' "
+        f"ELSE 'train' END)"
+    )

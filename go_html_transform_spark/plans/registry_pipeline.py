@@ -150,7 +150,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                len({D.shingles3_sql('tokens')}) AS n_shingles,
                len(list_distinct({D.shingles3_sql('tokens')})) AS n_distinct,
                {SH.assign_shards_sql('doc_key', 64, seed=0)} AS shard,
-               {SAM.sample_flag_sql('doc_key', 250000, seed=7)} AS sample_keep
+               {SAM.sample_flag_sql('doc_key', 250000, seed=7)} AS sample_keep,
+               {SAM.assign_split_sql('doc_key', 20000, 20000, seed=11)} AS split
         FROM doc
         """
     ),
@@ -166,6 +167,10 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     * sample_keep — seeded deterministic Bernoulli keep decision at 25%
       (operators/sampling.py): partition/retry/rerun-independent corpus
       downsampling, the source-mixing building block
+    * split — deterministic train/val/test assignment (2%/2% held out;
+      sampling.assign_split): disjoint+exhaustive per-key CASE on the
+      same uniform family — a document can never migrate between splits
+      across re-runs or layouts
     * n_shingles / n_distinct — packed 3-gram shingle stats, the n-gram
       Jaccard building block (pairs path exercised in tests; shingle
       sets here are near-unique so pair queries would be vacuous at
@@ -185,6 +190,9 @@ def dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(sh)).alias("n_distinct"),
             SAM.sample_flag(F.col("doc_key"), 250_000, seed=7).alias(
                 "sample_keep"
+            ),
+            SAM.assign_split(F.col("doc_key"), 20_000, 20_000, seed=11).alias(
+                "split"
             ),
         ),
         F.col("doc_key"),

@@ -358,3 +358,54 @@ def test_decontaminate_no_corpus_exchange(spark, corpus, eval_set):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_assign_split_disjoint_exhaustive_stable(spark):
+    """train/val/test assignment: every key gets exactly one label
+    (CASE is disjoint+exhaustive), proportions track the ppm knobs, the
+    assignment is layout-independent, and changing the seed reshuffles."""
+    from go_html_transform_spark.operators import sampling as SAM
+
+    df = spark.range(0, 20000).select(F.col("id").alias("doc_key"))
+    out = df.select(
+        "doc_key",
+        SAM.assign_split(F.col("doc_key"), 50_000, 50_000, seed=1).alias("s"),
+    )
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    # 5% +- 1% absolute for each holdout at n=20k
+    for k in ("val", "test"):
+        assert abs(counts[k] / 20000 - 0.05) < 0.01, counts
+    # layout independence: same labels after a repartition+sort shuffle
+    relabeled = (
+        df.repartition(17, "doc_key")
+        .sortWithinPartitions(F.desc("doc_key"))
+        .select(
+            "doc_key",
+            SAM.assign_split(F.col("doc_key"), 50_000, 50_000, seed=1).alias("s"),
+        )
+    )
+    a = {r.doc_key: r.s for r in out.collect()}
+    b = {r.doc_key: r.s for r in relabeled.collect()}
+    assert a == b
+    # seed sensitivity: a different seed must move some keys
+    c = {
+        r.doc_key: r.s
+        for r in df.select(
+            "doc_key",
+            SAM.assign_split(F.col("doc_key"), 50_000, 50_000, seed=2).alias("s"),
+        ).collect()
+    }
+    assert a != c
+    # DuckDB twin parity
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE k AS SELECT range AS doc_key FROM range(20000)")
+    ora = dict(duck.sql(
+        f"SELECT doc_key, {SAM.assign_split_sql('doc_key', 50000, 50000, seed=1)}"
+        f" FROM k"
+    ).fetchall())
+    assert a == ora
