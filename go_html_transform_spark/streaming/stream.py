@@ -399,3 +399,104 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_decayed_counts(
+    seq_stream: DataFrame,
+    bucket_seconds: int = 1800,
+    horizon: int = 4,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch decayed counter
+    (operators/window.py:decayed_bucket_counts): per-entity power-of-two
+    time-decayed event count over STRICTLY-PRIOR buckets, carried across
+    micro-batches in GroupState.
+
+    State per entity is ``horizon + 1`` scalars — the newest bucket id
+    and the counts of the last ``horizon`` buckets — CONSTANT regardless
+    of stream length (the streaming-CMS state discipline), and evictable
+    via an optional processing-time timeout.
+
+    Correctness argument (pinned by the cross-batch parity test): with
+    per-entity in-order arrival, bucket ids are non-decreasing, so every
+    event of a strictly-earlier bucket is processed before any row that
+    must count it; the state never needs more than the trailing
+    ``horizon`` buckets. Within a batch, rows are sorted and buckets are
+    folded cumulatively (same-bucket events never feed their own
+    feature — the batch operator's leak-free contract).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    width = bucket_seconds * 1_000_000
+    out_schema = (
+        f"{partition_by} string, event_id long, {time_col} timestamp, "
+        f"decayed_{bucket_seconds}s_fp long"
+    )
+    state_schema = "top_bucket long, " + ", ".join(
+        f"c{i} long" for i in range(horizon)
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (ent,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            vals = state.get
+            top, carried = vals[0], list(vals[1:])
+        else:
+            top, carried = None, [0] * horizon
+        counts: dict[int, int] = (
+            {top - i: carried[i] for i in range(horizon) if carried[i]}
+            if top is not None
+            else {}
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                [time_col, "event_id"], kind="mergesort", ignore_index=True
+            )
+            us = batch[time_col].astype("int64").to_numpy() // 1_000
+            buckets = us // width
+            feat = np.zeros(len(batch), dtype=np.int64)
+            for b in np.unique(buckets):  # sorted; O(buckets/batch) python
+                mask = buckets == b
+                f = 0
+                for d in range(1, horizon + 1):
+                    f += counts.get(int(b) - d, 0) << (horizon - d)
+                feat[mask] = f
+                counts[int(b)] = counts.get(int(b), 0) + int(mask.sum())
+            new_top = int(buckets[-1]) if top is None else max(top, int(buckets[-1]))
+            state.update(
+                tuple(
+                    [new_top]
+                    + [int(counts.get(new_top - i, 0)) for i in range(horizon)]
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    partition_by: ent,
+                    "event_id": batch["event_id"],
+                    time_col: batch[time_col],
+                    f"decayed_{bucket_seconds}s_fp": feat,
+                }
+            )
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60_000)
+
+    return (
+        seq_stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+        .select(partition_by, "event_id", time_col)
+        .groupBy(partition_by)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
+    )

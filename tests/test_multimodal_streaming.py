@@ -352,3 +352,51 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         (x.doc_id, x.event_time, x.eid, x.obs_time, x.rv) for x in got_df.collect()
     )
     assert got == want
+
+
+def test_streaming_decayed_counts_cross_batch_parity(spark, tmp_path):
+    """Streaming decayed counter across three time-sliced micro-batches ==
+    the batch operator on the same rows (GroupState carries exactly the
+    trailing `horizon` bucket counts; same-bucket events never feed
+    their own feature)."""
+    from go_html_transform_spark.operators.window import decayed_bucket_counts
+    from go_html_transform_spark.sources.tables import sequences
+
+    base = (
+        sequences(spark, SF_DIR)
+        .select("doc_id", "event_id", "event_time")
+        .withColumn("event_time", F.col("event_time").cast("timestamp"))
+    )
+    t1, t2 = [
+        r
+        for r in base.select(
+            F.percentile_approx("event_time", [0.33, 0.66], 10000)
+        ).first()[0]
+    ]
+    slices = [
+        base.filter(F.col("event_time") <= F.lit(t1)),
+        base.filter(
+            (F.col("event_time") > F.lit(t1)) & (F.col("event_time") <= F.lit(t2))
+        ),
+        base.filter(F.col("event_time") > F.lit(t2)),
+    ]
+    src = str(tmp_path / "slices")
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_decayed_counts(stream, bucket_seconds=1800, horizon=4)
+    got = ST.run_available_now(out, "stream_decayed", output_mode="append")
+    got_map = {
+        (r.doc_id, r.event_id): r["decayed_1800s_fp"] for r in got.collect()
+    }
+    want = decayed_bucket_counts(base, bucket_seconds=1800, horizon=4)
+    want_map = {
+        (r.doc_id, r.event_id): r["decayed_1800s_fp"] for r in want.collect()
+    }
+    assert len(got_map) == len(want_map) > 0
+    assert got_map == want_map
