@@ -229,3 +229,73 @@ class ManifestTable:
     def row_count(self, snapshot: int | None = None) -> int:
         """Exact row count from the manifest — O(1), no job."""
         return sum(f.rows for f in self.files(snapshot))
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: compaction + snapshot expiry
+# ---------------------------------------------------------------------------
+
+
+def compact(
+    table: ManifestTable,
+    spark: SparkSession,
+    small_bytes: int = 32 * 1024 * 1024,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite every live file under
+    ``small_bytes`` into ``target_files`` larger files and commit a new
+    snapshot that swaps them atomically — content-identical, old
+    snapshots still readable (time travel), readers never see a torn
+    state. The operational fix for the small-files problem a streaming
+    or bucket-granular writer accumulates at 10^12 rows: Spark schedules
+    one task per tiny file, and NameNode/manifest metadata grows
+    unboundedly, unless something rewrites.
+
+    Returns {"snapshot", "rewritten", "kept"} (rewritten = small files
+    replaced; snapshot = 0 means nothing to do)."""
+    cur = table.current_snapshot_id()
+    files = table.files(snapshot=cur)
+    small = [f for f in files if os.path.getsize(f.path) < small_bytes]
+    keep = [f for f in files if os.path.getsize(f.path) >= small_bytes]
+    if len(small) <= 1:
+        return {"snapshot": 0, "rewritten": 0, "kept": len(files)}
+    merged = spark.read.parquet(*[f.path for f in small]).coalesce(
+        max(1, target_files)
+    )
+    new_files = table._write_data(merged, stats_cols)
+    snap = table._commit(keep + new_files, cur)
+    return {"snapshot": snap, "rewritten": len(small), "kept": len(keep)}
+
+
+def expire_snapshots(table: ManifestTable, keep_last: int = 2) -> dict:
+    """Garbage-collect: drop manifests older than the last ``keep_last``
+    snapshots and delete data files no surviving snapshot references.
+    The current snapshot is always kept. Files are deleted only when
+    UNREACHABLE from every kept manifest — compaction's rewritten
+    originals become collectible once their last referencing snapshot
+    expires, never before."""
+    cur = table.current_snapshot_id()
+    if cur == 0:
+        return {"expired": 0, "deleted_files": 0}
+    kept_snaps = [s for s in range(max(1, cur - keep_last + 1), cur + 1)]
+    expired = [s for s in range(1, cur + 1) if s not in kept_snaps]
+    live: set[str] = set()
+    for s in kept_snaps:
+        live.update(f.path for f in table._read_manifest(s))
+    dead: set[str] = set()
+    for s in expired:
+        dead.update(
+            f.path for f in table._read_manifest(s) if f.path not in live
+        )
+    for p in dead:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    for s in expired:
+        try:
+            os.remove(table._manifest_path(s))
+        except FileNotFoundError:
+            pass
+    return {"expired": len(expired), "deleted_files": len(dead)}

@@ -137,3 +137,53 @@ def test_lineage_snapshot_integration(spark, table, tmp_path):
     assert snap2 != snap1
     assert ckpt.run_stage(src2, "stage_a", str(tmp_path / "sink2"),
                           key="id", snapshot_id=snap2) == 120
+
+
+def test_compaction_content_identical_and_fewer_files(spark, table):
+    from go_html_transform_spark.sources.manifest_table import compact
+
+    for lo in (0, 100, 200, 300):
+        table.append(_range_df(spark, lo, lo + 100, parts=4),
+                     stats_cols=["event_id"])
+    before_files = table.files()
+    before_rows = sorted(r.event_id for r in table.scan(spark).collect())
+    res = compact(table, spark, small_bytes=32 * 1024 * 1024,
+                  target_files=2, stats_cols=["event_id"])
+    assert res["rewritten"] == len(before_files)
+    after_files = table.files()
+    assert len(after_files) <= 2
+    after_rows = sorted(r.event_id for r in table.scan(spark).collect())
+    assert after_rows == before_rows
+    # time travel to the pre-compaction snapshot still works
+    assert table.scan(spark, snapshot=4).count() == 400
+    # compacted files carry fresh stats -> pruning still effective
+    assert len(table.files(prune={"event_id": (50_000, None)})) == 0
+    # second compaction is a no-op (nothing small left OR single file)
+    res2 = compact(table, spark, small_bytes=1, target_files=1)
+    assert res2["snapshot"] == 0
+
+
+def test_expire_snapshots_gc_unreachable_only(spark, table):
+    import os
+
+    from go_html_transform_spark.sources.manifest_table import (
+        compact,
+        expire_snapshots,
+    )
+
+    table.append(_range_df(spark, 0, 100, parts=2))
+    table.append(_range_df(spark, 100, 200, parts=2))
+    compact(table, spark, small_bytes=32 * 1024 * 1024)  # snapshot 3
+    pre_live = {f.path for f in table.files()}
+    res = expire_snapshots(table, keep_last=1)
+    assert res["expired"] == 2
+    # current snapshot fully readable; its files untouched
+    assert table.scan(spark).count() == 200
+    assert all(os.path.exists(p) for p in pre_live)
+    # the rewritten originals (only referenced by expired snaps) are gone
+    assert res["deleted_files"] > 0
+    # expired manifests unreadable, current still fine
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        table._read_manifest(1)
