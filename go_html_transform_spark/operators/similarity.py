@@ -570,3 +570,81 @@ def pq_adc_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index at rest: centroid-partitioned layout + file-pruned probes
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    table,
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the IVF layout: vectors quantized (zero-shuffle
+    literal-codebook argmax) then range-partitioned by ``centroid_id``
+    so each data file covers a contiguous centroid range, and committed
+    to a ManifestTable with centroid_id footer stats. This is the
+    `bucket(centroid_id)` Iceberg layout made concrete: at 10^12
+    vectors a probe of nprobe/k clusters reads nprobe/k of the FILES —
+    the manifest prunes before Spark lists anything."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    laid_out = assigned.repartitionByRange(
+        max(1, len(centroids)), F.col("centroid_id")
+    )
+    return table.append(laid_out, stats_cols=["centroid_id"])
+
+
+def ivf_topk_indexed(
+    table,
+    spark,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, int, int]":
+    """IVF top-k against the at-rest index: rank centroids driver-side,
+    manifest-prune to the probed clusters' files, exact-score only what
+    survives. Returns (result, files_read, files_total) so callers — and
+    tests — can see the prune doing its job."""
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probes = sorted(
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:nprobe]
+    )
+    total = len(table.files())
+    paths: list[str] = []
+    seen: set[str] = set()
+    for cid in probes:
+        for f in table.files(prune={"centroid_id": (cid, cid)}):
+            if f.path not in seen:
+                seen.add(f.path)
+                paths.append(f.path)
+    q = _lit_vec([float(x) for x in query_vec])
+    cand = spark.read.parquet(*paths).filter(
+        F.col("centroid_id").isin([int(c) for c in probes])
+    )
+    out = (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+    return out, len(paths), total

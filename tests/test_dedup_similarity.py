@@ -489,3 +489,31 @@ def test_pq_adc_topk_recall_and_plan(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
+def test_ivf_index_at_rest_prunes_files_and_matches(spark, tmp_path):
+    """The materialized IVF layout: manifest file-pruning reads a strict
+    subset of files for an nprobe<k probe, and the result equals the
+    in-memory ivf_topk on identical data."""
+    from go_html_transform_spark.sources.manifest_table import ManifestTable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    table = ManifestTable(str(tmp_path / "ivf_idx"))
+    SIM.ivf_write_index(table, emb, cents)
+
+    qv = list(emb.filter("vec_id = 0").collect()[0].embedding)
+    out, files_read, files_total = SIM.ivf_topk_indexed(
+        table, spark, qv, cents, k=10, nprobe=2
+    )
+    assert 0 < files_read < files_total
+    got = [(r.vec_id, r.cos) for r in out.collect()]
+    want = [
+        (r.vec_id, r.cos)
+        for r in SIM.ivf_topk(emb, qv, cents, k=10, nprobe=2).collect()
+    ]
+    assert got == want
+    # all-probe query == brute force, still through the index
+    out_all, _, _ = SIM.ivf_topk_indexed(table, spark, qv, cents, k=10, nprobe=8)
+    exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    assert [r.vec_id for r in out_all.collect()] == exact
