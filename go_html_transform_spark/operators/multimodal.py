@@ -211,3 +211,117 @@ def resize_media(
     return src.select("media_id", "kind", "payload").mapInPandas(
         resize_batches, out_schema
     )
+
+
+def extract_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame extraction: frame_sample_plan x payload -> one feature
+    row per sampled frame. Codec STUBBED like decode_media: with
+    ``fake=True`` each frame's feature vector derives deterministically
+    from (content digest, frame_idx) — stable across runs/partitionings;
+    without it, NotImplementedError.
+
+    Plan shape: the sample plan is pure Column arithmetic on metadata;
+    payload travels ONCE per media row into the Arrow batch, frames
+    explode INSIDE the Python worker (never shipping the blob per
+    frame through an exchange)."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs are not available in this environment; "
+            "pass fake=True for the deterministic stub extractor"
+        )
+    src = df.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField(
+                "features", T.ArrayType(T.DoubleType()), nullable=False
+            ),
+        ]
+    )
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload, n_frames in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                if n_frames is None or n_frames <= 0:
+                    continue
+                seed = _content_digest(payload)
+                for fi in range(0, int(n_frames), every_n):
+                    base = (seed * 1315423911 + fi * 2654435761) % (1 << 31)
+                    vec = (
+                        (base + 97 * np.arange(N_FEATURES, dtype=np.int64))
+                        % 1000
+                    ) / 1000.0
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append(vec.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "features": feats}
+            )
+
+    return src.mapInPandas(frame_batches, out_schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_seconds: int = 5,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio chunking: split each audio payload into fixed-duration
+    windows — (media_id, chunk_idx, start_s, payload_slice). The chunk
+    COUNT comes from metadata (sample_rate x assumed bytes/sample vs
+    payload length); slicing the real byte range is plumbing that works
+    on any payload, so this path has no codec stub to gate — decode of a
+    slice still goes through decode_media.
+
+    Chunk boundaries are pure arithmetic; the blob is sliced inside the
+    Arrow batch (one pass, bounded memory)."""
+    _ = fake  # kept for signature symmetry with the codec-gated ops
+    src = df.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", F.col("meta.sample_rate").alias("sample_rate")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("start_s", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, blobs = [], [], [], []
+            for mid, payload, sr in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                if payload is None or sr is None or sr <= 0:
+                    continue
+                step = int(sr) * 2 * chunk_seconds  # 16-bit mono bytes
+                if step <= 0:
+                    continue
+                n = (len(payload) + step - 1) // step
+                for ci in range(n):
+                    ids.append(mid)
+                    idxs.append(ci)
+                    starts.append(ci * chunk_seconds)
+                    blobs.append(bytes(payload[ci * step : (ci + 1) * step]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "start_s": starts,
+                    "payload": blobs,
+                }
+            )
+
+    return src.mapInPandas(chunk_batches, out_schema)

@@ -400,3 +400,50 @@ def test_streaming_decayed_counts_cross_batch_parity(spark, tmp_path):
     }
     assert len(got_map) == len(want_map) > 0
     assert got_map == want_map
+
+
+def test_extract_frames_plumbing(spark, media):
+    """Frame extraction: codec-gated; fake mode emits one deterministic
+    feature row per sampled frame, frames exploded inside the worker."""
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MM.extract_frames(media).collect()
+    out = MM.extract_frames(media, every_n=10, fake=True)
+    rows = out.collect()
+    # m4 is the only video: n_frames=95, every 10 -> frames 0,10,...,90
+    assert sorted(r.frame_idx for r in rows) == list(range(0, 95, 10))
+    assert {r.media_id for r in rows} == {"m4"}
+    assert all(len(r.features) == MM.N_FEATURES for r in rows)
+    # deterministic across re-runs and partitionings
+    again = MM.extract_frames(media.repartition(7), every_n=10, fake=True)
+    a = {(r.media_id, r.frame_idx): tuple(r.features) for r in rows}
+    b = {(r.media_id, r.frame_idx): tuple(r.features) for r in again.collect()}
+    assert a == b
+    # frame features differ across frames (the index feeds the digest)
+    assert len({v for v in a.values()}) == len(a)
+
+
+def test_chunk_audio_plumbing(spark, media):
+    """Audio chunking: byte-exact slices, correct boundaries, lossless
+    reassembly."""
+    # m3: sample_rate 16000 -> 16000*2*1 = 32000 bytes/chunk at 1s; the
+    # 13-byte fake payload yields exactly one (short) chunk
+    out = MM.chunk_audio(media, chunk_seconds=1).collect()
+    assert [(r.media_id, r.chunk_idx, r.start_s) for r in out] == [
+        ("m3", 0, 0)
+    ]
+    assert out[0].payload == b"RIFF fake wav"
+    # a longer synthetic payload chunks exactly and reassembles losslessly
+    blob = bytes(range(256)) * 400  # 102400 bytes
+    df = spark.createDataFrame(
+        [("a0", "audio", blob, (None, None, 16000, None))], MM.MEDIA_SCHEMA
+    )
+    chunks = sorted(
+        MM.chunk_audio(df, chunk_seconds=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    step = 16000 * 2
+    assert len(chunks) == (len(blob) + step - 1) // step == 4
+    assert [r.start_s for r in chunks] == [0, 1, 2, 3]
+    assert b"".join(bytes(r.payload) for r in chunks) == blob
