@@ -177,6 +177,55 @@ def main() -> None:
         ),
     ]
 
+    from go_html_transform_spark.functions import redact as RD
+    from go_html_transform_spark.functions import repetition as REPK
+    from go_html_transform_spark.operators import similarity as SIM
+    from go_html_transform_spark.operators.window import decayed_bucket_counts
+
+    emb = S.load_table(spark, sf_dir, "embeddings")
+    sections += [
+        (
+            "repetition filters + PII redaction (per-document quality layer)",
+            "MUST: zero Exchange — the whole layer is a projection over the "
+            "scan (row-local sorted-run decomposition + codegen'd "
+            "regexp_replace chain); no Python in this expression form (the "
+            "Arrow kernel twin is the production fast path).",
+            REPK.with_repetition(
+                REPK.with_repetition(
+                    doc.select("doc_id", "text", "tokens"), "tokens", 2
+                ),
+                "tokens",
+                3,
+            ).withColumn("pii_hits", RD.pii_hits(F.col("text"))),
+        ),
+        (
+            "decayed counter feature (strictly-prior buckets)",
+            "MUST: ONE Exchange hashpartitioning(doc_id) + ONE Sort; all "
+            "horizon RANGE [-d,-d] frames collapse into a single Window "
+            "node; no self-join.",
+            decayed_bucket_counts(
+                seq.select("doc_id", "event_time", "event_id"),
+                bucket_seconds=1800,
+                horizon=4,
+            ),
+        ),
+        (
+            "exact histogram quantiles (bounded domain)",
+            "MUST: the corpus is exchanged ONCE (histogram partial agg); "
+            "the cumsum window runs over |domain| rows (the single-"
+            "partition Window is a few-KB step, never a corpus sort).",
+            SK.value_quantiles(seq.select("n_tok"), "n_tok"),
+        ),
+        (
+            "PQ encode (product quantization)",
+            "MUST: zero Exchange, zero Python — per-subspace argmin-L2 over "
+            "literal codebooks as struct array_min inside one projection.",
+            SIM.pq_encode(emb, SIM.pq_codebooks(emb)).select(
+                "vec_id", "pq_code"
+            ),
+        ),
+    ]
+
     lines = [
         "# BENCH/PLANS.md — physical-plan audit of the headline operators",
         "",
