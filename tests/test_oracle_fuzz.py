@@ -287,3 +287,95 @@ def test_boilerplate_and_lm_twins_adversarial(spark, duck):
             " ORDER BY id"
         ),
     )
+
+
+def test_repetition_and_split_twins_dirty_corpus(spark, duck):
+    """Repetition filters + split assignment on the dirty token corpus
+    (empty / NULL-element / whole-NULL arrays) through the driver's
+    dtype-sensitive compare."""
+    from go_html_transform_spark.functions import repetition as REP
+    from go_html_transform_spark.operators import sampling as SAM
+
+    rows = _token_corpus()
+    df = spark.createDataFrame(rows, "id long, tokens array<int>")
+    duck.execute("CREATE OR REPLACE TABLE rcorp (id BIGINT, tokens INTEGER[])")
+    duck.executemany("INSERT INTO rcorp VALUES (?, ?)", rows)
+
+    eng = (
+        REP.with_repetition(REP.with_repetition(df, "tokens", 2), "tokens", 3)
+        .select(
+            "id",
+            "rep2_dup_ppm",
+            "rep2_top_ppm",
+            "rep3_dup_ppm",
+            "rep3_top_ppm",
+            SAM.assign_split(F.col("id"), 100_000, 100_000, seed=3).alias("sp"),
+        )
+    )
+    d2, t2 = REP.repetition_sql("tokens", 2)
+    d3, t3 = REP.repetition_sql("tokens", 3)
+    ora = duck.sql(
+        f"""
+        SELECT id, {d2} AS rep2_dup_ppm, {t2} AS rep2_top_ppm,
+               {d3} AS rep3_dup_ppm, {t3} AS rep3_top_ppm,
+               {SAM.assign_split_sql('id', 100000, 100000, seed=3)} AS sp
+        FROM rcorp ORDER BY id
+        """
+    )
+    _strict(eng, ora)
+
+
+def test_redact_twins_adversarial_text(spark, duck):
+    """PII redaction chain on adversarial strings: unicode, regex
+    metacharacters in text, stacked/overlapping matches, empty, NULL."""
+    from go_html_transform_spark.functions import redact as RD
+
+    rows = [
+        (0, "a@b.co http://x/a@b.co 1.2.3.4 123456"),
+        (1, "ünïcode mail: ü@x.de not-an-email @ loose"),
+        (2, "regex meta [a-z]+ (x|y) $1 \\d+ in text 9999999"),
+        (3, ""),
+        (4, None),
+        (5, "255.255.255.255.255 1234567890123456789012"),
+        (6, "https://a https://b c@d.ee f@g.hh 10.0.0.1 000000"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    duck.execute("CREATE OR REPLACE TABLE pcorp (id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO pcorp VALUES (?, ?)", rows)
+
+    eng = df.select(
+        "id",
+        RD.redact_pii(F.col("text")).alias("red"),
+        RD.pii_hits(F.col("text")).alias("hits"),
+    )
+    ora = duck.sql(
+        f"""
+        SELECT id, {RD.redact_pii_sql('text')} AS red,
+               {RD.pii_hits_sql('text')} AS hits
+        FROM pcorp ORDER BY id
+        """
+    )
+    _strict(eng, ora)
+
+
+def test_value_quantiles_twin_random_corpus(spark, duck):
+    """Histogram quantiles over a random bounded-domain column."""
+    import random as _random
+
+    from go_html_transform_spark.operators import sketches as SKQ
+
+    rng = _random.Random(21)
+    rows = [(i, rng.choice([0, 1, 1, 2, 3, 5, 8, 13, 21, 99]))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, n_tok int")
+    duck.execute("CREATE OR REPLACE TABLE qcorp (id BIGINT, n_tok INTEGER)")
+    duck.executemany("INSERT INTO qcorp VALUES (?, ?)", rows)
+    qs = (1, 100_000, 500_000, 900_000, 1_000_000)
+    eng = SKQ.value_quantiles(df, "n_tok", qs_ppm=qs).withColumnRenamed(
+        "q_ppm", "q"
+    ).select(F.col("q").cast("int").alias("q"), "value")
+    ora = duck.sql(
+        f"SELECT CAST(q_ppm AS INTEGER) AS q, value "
+        f"FROM ({SKQ.value_quantiles_sql('qcorp', 'n_tok', qs)}) ORDER BY q"
+    )
+    _strict(eng, ora)
