@@ -409,6 +409,118 @@ def bigram_lm_stats(
     return bigram_lm_score(df, bigram_counts(df, tokens), id_col, tokens)
 
 
+def lm_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+    head_ppm: int = 330_000,
+    tail_ppm: int = 670_000,
+    levels: int = 1024,
+) -> DataFrame:
+    """(id, lm_metric, lm_bucket): CCNet's head/middle/tail partition —
+    documents bucketed by corpus-self-trained LM score quantiles (head =
+    most typical / lowest perplexity, tail = least). Everything stays
+    exact-integer so both engines agree bit-for-bit:
+
+    1. per-doc metric m = lm_sum*1000 // lm_pairs (exact scaled mean of
+       corpus bigram counts — HIGH m = typical text = CCNet 'head');
+    2. m is affinely quantized to ``levels`` integer levels between the
+       observed corpus [min, max] (one tiny min/max aggregate — the
+       bounded-domain contract value_quantiles needs, independent of
+       corpus size);
+    3. the head/tail thresholds are exact order statistics of the
+       quantized metric (value_quantiles — histogram + cumsum, one
+       vocab-bounded exchange);
+    4. bucket assignment is one broadcast of the 2-row threshold table +
+       a codegen'd CASE: 0 = head (q >= tail threshold: most typical),
+       1 = middle, 2 = tail.
+
+    Scale shape on top of bigram_lm_stats' own plan: one extra min/max
+    agg (driver-sized), one |levels|-bounded quantile pass, one
+    broadcast. Docs with < 2 tokens drop out (no pairs — the
+    bigram_lm_stats contract)."""
+    stats = bigram_lm_stats(df, id_col, tokens)
+    m = (
+        (F.col("lm_sum") * F.lit(1000))
+        - F.pmod(F.col("lm_sum") * F.lit(1000), F.col("lm_pairs"))
+    ) / F.col("lm_pairs")
+    scored = stats.select(id_col, m.cast("long").alias("lm_metric"))
+    lo, hi = scored.agg(
+        F.min("lm_metric"), F.max("lm_metric")
+    ).collect()[0]
+    span = max(1, int(hi) - int(lo) + 1)
+    # exact floor division idiom (x - x%span)/span: the double divide of
+    # an exact multiple with quotient <= levels is exact — no 2^53 hazard
+    x = (F.col("lm_metric") - F.lit(int(lo))) * F.lit(levels)
+    qcol = ((x - F.pmod(x, F.lit(span))) / F.lit(span)).cast("long")
+    quantized = scored.withColumn("__q", qcol)
+    thr = {
+        int(r["q_ppm"]): int(r["value"])
+        for r in value_quantiles(
+            quantized.select("__q"), "__q", qs_ppm=(head_ppm, tail_ppm)
+        ).collect()
+    }
+    h, t = thr[head_ppm], thr[tail_ppm]
+    bucket = (
+        F.when(F.col("__q") > F.lit(t), F.lit(0))  # head: most typical
+        .when(F.col("__q") > F.lit(h), F.lit(1))  # middle
+        .otherwise(F.lit(2))  # tail
+    )
+    return quantized.select(
+        id_col, "lm_metric", bucket.cast("int").alias("lm_bucket")
+    )
+
+
+def lm_perplexity_buckets_sql(
+    rel: str = "doc",
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+    head_ppm: int = 330_000,
+    tail_ppm: int = 670_000,
+    levels: int = 1024,
+) -> str:
+    """DuckDB twin: the same metric -> quantize -> order-statistic
+    thresholds -> CASE chain as one self-contained scalar pipeline."""
+    return f"""
+        WITH __st AS (
+            SELECT {id_col},
+                   (CAST(lm_sum AS BIGINT) * 1000) // lm_pairs AS lm_metric
+            FROM ({bigram_lm_stats_sql(rel, id_col, tokens)})
+        ),
+        __mm AS (
+            SELECT MIN(lm_metric) AS lo,
+                   MAX(lm_metric) - MIN(lm_metric) + 1 AS span
+            FROM __st
+        ),
+        __qz AS (
+            SELECT {id_col}, lm_metric,
+                   (lm_metric - lo) * {levels} // GREATEST(span, 1) AS q
+            FROM __st, __mm
+        ),
+        __thr AS (
+            SELECT q_ppm, value FROM (
+                SELECT q_ppm, CAST(MIN(v) AS BIGINT) AS value
+                FROM (
+                  SELECT v,
+                         CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                         CAST(SUM(c) OVER () AS BIGINT) AS n
+                  FROM (SELECT q AS v, COUNT(*) AS c FROM __qz GROUP BY 1)
+                ), unnest([{head_ppm}, {tail_ppm}]) AS u(q_ppm)
+                WHERE cum >= (q_ppm * n + 999999) // 1000000
+                GROUP BY q_ppm
+            )
+        )
+        SELECT {id_col}, lm_metric,
+               CAST(CASE
+                 WHEN q > (SELECT value FROM __thr WHERE q_ppm = {tail_ppm})
+                   THEN 0
+                 WHEN q > (SELECT value FROM __thr WHERE q_ppm = {head_ppm})
+                   THEN 1
+                 ELSE 2 END AS INTEGER) AS lm_bucket
+        FROM __qz
+    """
+
+
 def bigram_lm_score(
     df: DataFrame,
     lm: DataFrame,

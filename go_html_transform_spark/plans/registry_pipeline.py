@@ -447,6 +447,10 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ntok_quantiles', CAST(NULL AS INTEGER),
                CAST(q_ppm AS INTEGER), value
         FROM ({SK.value_quantiles_sql('seq')})
+        UNION ALL
+        SELECT 'lm_bucket', CAST(doc_id[2:] AS INTEGER),
+               lm_bucket, lm_metric
+        FROM ({SK.lm_perplexity_buckets_sql('doc')})
         """
     ),
 )
@@ -486,6 +490,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       BOUNDED domain — one vocab-bounded exchange, the cumsum window
       runs over |domain| rows, never a global sort of the corpus;
       k2 = q in ppm, cnt = the order statistic
+    * lm_bucket — CCNet-style head/middle/tail perplexity partition
+      (sketches.lm_perplexity_buckets): per-doc LM metric quantized to a
+      bounded 1024-level domain, head/tail thresholds as exact order
+      statistics, one broadcast CASE assignment; k1 = numeric doc id,
+      k2 = bucket (0=head most-typical, 1=middle, 2=tail),
+      cnt = the exact scaled LM metric
 
     Every count is exact-integer; each batch-sketch plan is a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
@@ -564,6 +574,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_ppm").cast("int").alias("k2"),
         F.col("value").alias("cnt"),
     )
+    lm_bkt = SK.lm_perplexity_buckets(doc).select(
+        F.lit("lm_bucket").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("lm_bucket").cast("int").alias("k2"),
+        F.col("lm_metric").alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -574,4 +590,5 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm_doc)
         .unionByName(span)
         .unionByName(quant)
+        .unionByName(lm_bkt)
     )

@@ -300,3 +300,30 @@ def test_value_quantiles_histogram_plan(spark):
     # q groupBy; the corpus itself is exchanged exactly once
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_lm_perplexity_buckets_partition_properties(spark):
+    """CCNet head/middle/tail: every scored doc gets exactly one bucket,
+    proportions track the 33/67 thresholds, head docs score higher LM
+    metrics than tail docs, and the assignment is deterministic."""
+    from go_html_transform_spark.sources.tables import documents_tokenized
+
+    doc = documents_tokenized(spark, "/root/testdata/sf0.001")
+    out = SK.lm_perplexity_buckets(doc)
+    rows = out.collect()
+    n = len(rows)
+    assert n > 0
+    counts = {b: sum(1 for r in rows if r.lm_bucket == b) for b in (0, 1, 2)}
+    assert sum(counts.values()) == n
+    # ~1/3 each (quantized thresholds: allow 12% absolute slack)
+    for b in (0, 1, 2):
+        assert abs(counts[b] / n - 1 / 3) < 0.12, counts
+    # ordering: min metric of head >= max metric of tail can fail only at
+    # quantization boundaries; compare means instead (strictly ordered)
+    mean = {
+        b: sum(r.lm_metric for r in rows if r.lm_bucket == b) / counts[b]
+        for b in (0, 1, 2)
+    }
+    assert mean[0] > mean[1] > mean[2], mean
+    again = {r.doc_id: r.lm_bucket for r in SK.lm_perplexity_buckets(doc).collect()}
+    assert again == {r.doc_id: r.lm_bucket for r in rows}
