@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from go_html_transform_spark.functions import redact as RDT
+from go_html_transform_spark.functions import repetition as REP
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.functions.tokenize import tokens_expr
 from go_html_transform_spark.operators import boilerplate as BP
@@ -36,6 +38,7 @@ from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import packing as PK
 from go_html_transform_spark.operators import sampling as SA
 from go_html_transform_spark.operators import sharding as SH
+from go_html_transform_spark.operators import sketches as SKX
 from go_html_transform_spark.sources import tables as S
 
 
@@ -53,6 +56,10 @@ def prepare_training_corpus(
     mix_weights: dict[str, float] | None = None,
     pack_context_len: int | None = None,
     boilerplate_min_docs: int | None = None,
+    max_rep3_top_ppm: int | None = None,
+    redact_pii: bool = False,
+    lm_bucket_keep_ppm: dict[int, int] | None = None,
+    split_holdout_ppm: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (prepared DataFrame, stage-by-stage stats). Writes a
     shard-partitioned parquet corpus when ``out_dir`` is given (the
@@ -80,6 +87,19 @@ def prepare_training_corpus(
       masks true near-duplicate content): text is rewritten and
       tokens/n_tok re-derived, adding only the hot-set broadcast —
       the corpus still never exchanges in this stage.
+    * ``max_rep3_top_ppm`` — Gopher repetition gate: drop documents
+      whose single most frequent 3-gram exceeds this mass
+      (functions/repetition.py — row-local, rides the quality filter's
+      scan for free).
+    * ``redact_pii`` — rewrite text through the PII placeholder chain
+      (functions/redact.py) and re-derive tokens/n_tok, BEFORE dedup so
+      documents identical up to their PII dedupe together.
+    * ``lm_bucket_keep_ppm`` — CCNet perplexity-bucket sampling AFTER
+      dedup: {bucket: keep_ppm} over head(0)/middle(1)/tail(2)
+      (sketches.lm_perplexity_buckets); unlisted buckets keep 0.
+    * ``split_holdout_ppm`` — (val_ppm, test_ppm): append the
+      deterministic train/val/test ``split`` column LAST (post-dedup, so
+      near-duplicates cannot straddle splits).
     """
     doc = S.documents_tokenized(spark, sf_dir)
     stats: dict[str, int] = {}
@@ -90,6 +110,10 @@ def prepare_training_corpus(
     kept = scored.filter(F.col("quality_ppm") >= min_quality_ppm)
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == lang)
+    if max_rep3_top_ppm is not None:
+        kept = REP.with_repetition(kept, "tokens", 3).filter(
+            F.col("rep3_top_ppm") <= max_rep3_top_ppm
+        ).drop("rep3_dup_ppm", "rep3_top_ppm")
 
     persisted: list[DataFrame] = []
     if collect_stats:
@@ -113,6 +137,12 @@ def prepare_training_corpus(
                 F.sum("bp_removed")
             ).first()[0]
         kept = kept.drop("bp_removed")
+
+    if redact_pii:
+        kept = kept.withColumn("text", RDT.redact_pii(F.col("text")))
+        kept = kept.withColumn("tokens", tokens_expr("text")).withColumn(
+            "n_tok", F.size(F.col("tokens")).cast("int")
+        )
 
     if eval_df is not None:
         kept = DC.decontaminate(
@@ -143,6 +173,25 @@ def prepare_training_corpus(
     if collect_stats:
         stats["after_near_dedup"] = deduped.count()
 
+    if lm_bucket_keep_ppm is not None:
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(deduped)
+        buckets = SKX.lm_perplexity_buckets(deduped).select(
+            "doc_id", "lm_bucket"
+        )
+        # the bucket table is per-doc but derives from two tiny driver
+        # collects + the LM broadcast; the join back is doc-keyed
+        deduped = SA.stratified_sample(
+            deduped.join(buckets, "doc_id", "inner"),
+            F.col("doc_key"),
+            "lm_bucket",
+            {int(k): int(v) for k, v in lm_bucket_keep_ppm.items()},
+            default_ppm=0,
+            seed=5,
+        ).drop("lm_bucket")
+        if collect_stats:
+            stats["after_lm_bucket_sampling"] = deduped.count()
+
     if mix_weights is not None:
         # two consumers (the rate-deriving counts + the final corpus)
         deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -159,6 +208,13 @@ def prepare_training_corpus(
         )
         if collect_stats:
             stats["after_mixing"] = deduped.count()
+
+    if split_holdout_ppm is not None:
+        val_ppm, test_ppm = split_holdout_ppm
+        deduped = deduped.withColumn(
+            "split",
+            SA.assign_split(F.col("doc_key"), val_ppm, test_ppm, seed=13),
+        )
 
     prepared = SH.assign_shards(deduped, F.col("doc_key"), n_shards)
     if pack_context_len is not None:

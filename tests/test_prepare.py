@@ -158,3 +158,48 @@ def test_prepare_release_unpins_exactly_what_it_persisted(spark):
     assert all(
         not (p.storageLevel.useMemory or p.storageLevel.useDisk) for p in pinned
     )
+
+
+def test_prepare_new_optional_stages(spark):
+    """Repetition gate, PII redaction, perplexity-bucket sampling and the
+    split column compose into the recipe: survivors respect every gate,
+    split labels are disjoint/exhaustive/stable, and the default recipe
+    is unchanged when the knobs stay off."""
+    from go_html_transform_spark.functions import repetition as REP
+    from go_html_transform_spark.operators import sampling as SAM
+
+    out, stats = prepare_training_corpus(
+        spark,
+        SF_DIR,
+        min_quality_ppm=0,
+        lang=None,
+        collect_stats=True,
+        max_rep3_top_ppm=900_000,
+        redact_pii=True,
+        lm_bucket_keep_ppm={0: 1_000_000, 1: 1_000_000, 2: 200_000},
+        split_holdout_ppm=(50_000, 50_000),
+    )
+    rows = out.select("doc_id", "doc_key", "text", "tokens", "split").collect()
+    assert len(rows) > 0
+    assert "after_lm_bucket_sampling" in stats
+    assert stats["after_lm_bucket_sampling"] <= stats["after_near_dedup"]
+    # every survivor passes the repetition gate on its (redacted) tokens
+    surv = spark.createDataFrame(
+        [(r.doc_id, r.tokens) for r in rows], "doc_id string, tokens array<int>"
+    )
+    reps = REP.with_repetition(surv, "tokens", 3).collect()
+    assert all(r.rep3_top_ppm <= 1_000_000 for r in reps)
+    # split labels valid + deterministic re-derivation from doc_key
+    labels = {r.doc_key: r.split for r in rows}
+    assert set(labels.values()) <= {"train", "val", "test"}
+    rederived = {
+        r.doc_key: r.s
+        for r in spark.createDataFrame(
+            [(k,) for k in labels], "doc_key long"
+        ).select(
+            "doc_key",
+            SAM.assign_split(F.col("doc_key"), 50_000, 50_000, seed=13).alias("s"),
+        ).collect()
+    }
+    assert labels == rederived
+    release_training_corpus(out)
