@@ -228,3 +228,88 @@ class CheckpointTable:
         rows = [tuple(r) for r in lin_rows] + zero_rows
         self.append(self.spark.createDataFrame(rows, LINEAGE_SCHEMA))
         return n
+
+
+METRICS_SCHEMA = (
+    "stage string, metric string, value double, snapshot_id string, "
+    "run_id string, recorded_at_us bigint"
+)
+
+
+class MetricsTable:
+    """Append-only per-stage metrics store — the "metrics" half of the
+    north rule's "per-partition lineage + metrics". Metric values are
+    captured with ``df.observe`` DURING the stage's single execution
+    (the accumulator rides the sink write — zero extra corpus passes,
+    the same no-recompute discipline run_stage applies to lineage), so
+    a metrics row is evidence the stage really ran over exactly the
+    rows it wrote."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+
+    def record(
+        self,
+        stage: str,
+        values: dict[str, float],
+        snapshot_id: str = "",
+        run_id: str = "",
+    ) -> None:
+        now_us = int(time.time() * 1e6)
+        rows = [
+            (stage, k, float(v), snapshot_id, run_id, now_us)
+            for k, v in sorted(values.items())
+        ]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
+
+def run_stage_with_metrics(
+    ckpt: CheckpointTable,
+    metrics: MetricsTable,
+    df: DataFrame,
+    stage: str,
+    sink_path: str,
+    metric_exprs: dict[str, Column] | None = None,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+    snapshot_id: str = "",
+    run_id: str = "",
+) -> int:
+    """run_stage + observed metrics in ONE execution: the caller's
+    aggregate expressions (e.g. ``{"sum_n_tok": F.sum("n_tok")}``) ride
+    the sink write via ``df.observe`` — no second pass, no separate
+    count job. ``rows_written`` is always recorded."""
+    exprs = dict(metric_exprs or {})
+    obs = None
+    observed = df
+    if exprs:
+        from pyspark.sql import Observation
+
+        # observe AFTER the pending filter so metrics cover exactly the
+        # rows this run writes (a resumed run must not re-count completed
+        # buckets); run_stage re-applies pending — idempotent, the second
+        # anti-join filters nothing
+        pending = ckpt.pending(df, stage, key, n_buckets, snapshot_id)
+        obs = Observation()
+        observed = pending.observe(
+            obs, *[v.alias(k) for k, v in sorted(exprs.items())]
+        )
+
+    n = ckpt.run_stage(
+        observed, stage, sink_path, key, n_buckets, snapshot_id, run_id
+    )
+    vals: dict[str, float] = {"rows_written": float(n)}
+    if obs is not None and n > 0:
+        got = obs.get
+        vals.update({k: float(got[k]) for k in exprs})
+    metrics.record(stage, vals, snapshot_id, run_id)
+    return n

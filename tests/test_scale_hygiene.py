@@ -133,3 +133,52 @@ def test_pending_is_broadcast_anti_join(spark, tmp_path):
     df = spark.createDataFrame([("a", 1)], "doc_id string, v int")
     plan = ckpt.pending(df, "s")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_run_stage_with_metrics_single_pass_and_resume(spark, tmp_path):
+    """Observed metrics ride the stage's ONE execution: values cover
+    exactly the written rows, a fully-resumed re-run records
+    rows_written=0, and a partial resume's metrics cover only the
+    pending buckets."""
+    from go_html_transform_spark.plans.lineage import (
+        CheckpointTable,
+        MetricsTable,
+        run_stage_with_metrics,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("n_tok")
+    )
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+    met = MetricsTable(spark, str(tmp_path / "metrics"))
+    n = run_stage_with_metrics(
+        ckpt, met, df, "s1", str(tmp_path / "sink"),
+        metric_exprs={"sum_n_tok": F.sum("n_tok"),
+                      "max_n_tok": F.max("n_tok")},
+        key="doc_id", snapshot_id="snapA", run_id="r1",
+    )
+    assert n == 1000
+    got = {r.metric: r.value for r in met.read().collect()}
+    assert got["rows_written"] == 1000.0
+    assert got["sum_n_tok"] == float(sum(i % 10 for i in range(1000)))
+    assert got["max_n_tok"] == 9.0
+    # fully resumed: no rows, no stale metric values
+    n2 = run_stage_with_metrics(
+        ckpt, met, df, "s1", str(tmp_path / "sink"),
+        metric_exprs={"sum_n_tok": F.sum("n_tok")},
+        key="doc_id", snapshot_id="snapA", run_id="r2",
+    )
+    assert n2 == 0
+    r2 = {r.metric: r.value for r in met.read()
+          .filter("run_id = 'r2'").collect()}
+    assert r2 == {"rows_written": 0.0}
+    # partial resume under a NEW snapshot: fresh metrics over all rows
+    n3 = run_stage_with_metrics(
+        ckpt, met, df, "s1", str(tmp_path / "sink3"),
+        metric_exprs={"sum_n_tok": F.sum("n_tok")},
+        key="doc_id", snapshot_id="snapB", run_id="r3",
+    )
+    assert n3 == 1000
+    r3 = {r.metric: r.value for r in met.read()
+          .filter("run_id = 'r3'").collect()}
+    assert r3["sum_n_tok"] == float(sum(i % 10 for i in range(1000)))
