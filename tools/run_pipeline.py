@@ -36,7 +36,11 @@ def main() -> None:
     from go_html_transform_spark.operators import transforms as X
     from go_html_transform_spark.operators.asof import asof_join
     from go_html_transform_spark.operators.window import add_features
-    from go_html_transform_spark.plans.lineage import CheckpointTable
+    from go_html_transform_spark.plans.lineage import (
+        CheckpointTable,
+        MetricsTable,
+        run_stage_with_metrics,
+    )
     from go_html_transform_spark.plans.pipeline import Transformer
     from go_html_transform_spark.session import get_spark
     from go_html_transform_spark.sources import tables as S
@@ -62,20 +66,34 @@ def main() -> None:
         rolling_k=args.rolling_k,
     )
 
+    from pyspark.sql import functions as F
+
     ckpt = CheckpointTable(spark, args.checkpoint)
-    n = ckpt.run_stage(
+    metrics = MetricsTable(spark, f"{args.checkpoint}_metrics")
+    n = run_stage_with_metrics(
+        ckpt,
+        metrics,
         full,
         stage="features_v1",
         sink_path=args.output,
+        metric_exprs={
+            "sum_n_tok": F.sum("n_tok"),
+            "n_entities_approx": F.approx_count_distinct("doc_id"),
+            "null_labels": F.count(F.when(F.col("label_value").isNull(), 1)),
+        },
         key="doc_id",
         n_buckets=args.n_buckets,
         snapshot_id=snap,
         run_id=run_id,
     )
     done = ckpt.completed_buckets("features_v1", snapshot_id=snap).count()
+    mrows = {
+        r.metric: r.value
+        for r in metrics.read().filter(F.col("run_id") == run_id).collect()
+    }
     print(
         f"run_id={run_id} snapshot={snap} wrote_rows={n} "
-        f"completed_buckets={done}/{args.n_buckets}"
+        f"completed_buckets={done}/{args.n_buckets} metrics={mrows}"
     )
     spark.stop()
 
