@@ -138,3 +138,65 @@ def pack_assign_sql(
                CAST({before} % {context_len} AS INTEGER) AS pack_offset
         FROM {src}
     """
+
+
+def pack_contexts(
+    assigned: DataFrame,
+    n_tok_col: str = "n_tok",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    context_len: int = 2048,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assemble the trainer-facing packed contexts: one row per
+    (shard, pack_id) with
+
+    * ``tokens``  — the concatenated context window (exactly
+      ``context_len`` tokens except each shard's final partial pack)
+    * ``spans``   — array<struct<doc_id, begin, end>> document boundary
+      spans (half-open, pack-local) — the loss-mask/attention-reset
+      input every packed-pretraining loader needs
+
+    Built from pack_chunks (each document sliced into the windows it
+    overlaps): chunk token slices are row-local ``F.slice``; the ONLY
+    exchange is the groupBy on (shard, pack_id), and each grouped row is
+    bounded by ``context_len`` tokens regardless of document sizes — a
+    10^6-token document contributes 1-token-accurate slices to ~489
+    different packs instead of one giant row.
+
+    Determinism: chunk order inside a pack is pinned by ``pack_begin``
+    (disjoint within a pack by construction), so the assembled array is
+    byte-identical across partitionings/retries."""
+    chunks = pack_chunks(assigned, n_tok_col, context_len)
+    piece = F.slice(
+        F.col(tokens_col),
+        (F.col("doc_begin") + 1).cast("int"),
+        (F.col("doc_end") - F.col("doc_begin")).cast("int"),
+    )
+    rows = chunks.select(
+        F.col(shard_col),
+        F.col("pack_id"),
+        F.struct(
+            F.col("pack_begin").alias("begin"),
+            piece.alias("toks"),
+            F.col(id_col).alias("doc_id"),
+        ).alias("__piece"),
+    )
+    grouped = rows.groupBy(shard_col, "pack_id").agg(
+        F.array_sort(F.collect_list("__piece")).alias("__pieces")
+    )
+    toks = F.flatten(F.transform(F.col("__pieces"), lambda p: p["toks"]))
+    spans = F.transform(
+        F.col("__pieces"),
+        lambda p: F.struct(
+            p["doc_id"].alias("doc_id"),
+            p["begin"].alias("begin"),
+            (p["begin"] + F.size(p["toks"])).alias("end"),
+        ),
+    )
+    return grouped.select(
+        shard_col,
+        "pack_id",
+        toks.alias("tokens"),
+        spans.alias("spans"),
+    )

@@ -239,3 +239,28 @@ def release_training_corpus(prepared: DataFrame) -> None:
     sink (``out_dir=None``). No-op for already-sunk corpora."""
     for p in getattr(prepared, "_prepare_persisted", []):
         p.unpersist()
+
+
+def audit_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 13,
+) -> tuple[DataFrame, int]:
+    """Eval-hygiene audit: training documents that share an ``n``-gram
+    with ANY held-out (val/test) document — the check a release gate
+    runs before shipping a corpus with a split column. Returns
+    ((doc_id, n_contaminated) over train docs, heldout doc count).
+
+    Plan shape: the held-out side is the 2-4% minority — its n-gram set
+    broadcasts (decontaminate.py machinery); the train side explodes
+    narrowly and semi-joins map-side; the only exchange groups the
+    matched minority. NOTE split assignment alone cannot prevent this
+    (near-duplicates straddle splits unless dedup ran first — which is
+    why prepare assigns the split POST-dedup); this audit measures
+    what remains."""
+    train = df.filter(F.col(split_col) == "train")
+    heldout = df.filter(F.col(split_col) != "train")
+    counts = DC.contamination_counts(train, heldout, id_col, tokens_col, n)
+    return counts, heldout.count()

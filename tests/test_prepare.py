@@ -203,3 +203,80 @@ def test_prepare_new_optional_stages(spark):
     }
     assert labels == rederived
     release_training_corpus(out)
+
+
+def test_audit_split_contamination_detects_planted_leak(spark):
+    """A train doc sharing a 13-gram with a test doc is flagged; a clean
+    corpus audits to zero."""
+    from go_html_transform_spark.plans.prepare import audit_split_contamination
+
+    shared = list(range(100, 120))  # 20 tokens -> 13-gram overlap
+    rows = [
+        ("t0", shared + [1, 2, 3], "train"),
+        ("t1", [5] * 30, "train"),
+        ("v0", [9, 8] + shared, "val"),
+        ("v1", [7] * 30, "test"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, split string"
+    )
+    counts, n_held = audit_split_contamination(df)
+    got = {r.doc_id: r.n_contaminated for r in counts.collect()}
+    assert n_held == 2
+    assert "t0" in got and got["t0"] >= 1
+    assert "t1" not in got
+    clean = spark.createDataFrame(
+        [("a", [1] * 20, "train"), ("b", [2] * 20, "val")],
+        "doc_id string, tokens array<int>, split string",
+    )
+    c2, _ = audit_split_contamination(clean)
+    assert c2.count() == 0
+
+
+def test_pack_contexts_assembly_roundtrip(spark):
+    """Packed contexts: every pack is exactly context_len tokens (except
+    each shard's final pack), spans tile each pack gaplessly, and
+    re-assembling every document's pieces across packs reproduces the
+    original token array byte-for-byte."""
+    import random
+
+    from go_html_transform_spark.operators import packing as PK
+    from go_html_transform_spark.operators import sharding as SHO
+
+    rng = random.Random(4)
+    rows = [
+        (i, [rng.randrange(1000) for _ in range(rng.randrange(1, 90))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_key long, tokens array<int>")
+    df = df.withColumn("doc_id", F.col("doc_key").cast("string")).withColumn(
+        "n_tok", F.size("tokens")
+    )
+    sharded = SHO.assign_shards(df, F.col("doc_key"), 4)
+    assigned = PK.pack_assign(sharded, F.col("doc_key"), "n_tok", 64)
+    packs = PK.pack_contexts(assigned, context_len=64).collect()
+    # tiling: full packs are exactly 64; at most one short pack per shard
+    by_shard: dict[int, list] = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    for shard, ps in by_shard.items():
+        ps.sort(key=lambda p: p.pack_id)
+        for p in ps[:-1]:
+            assert len(p.tokens) == 64, (shard, p.pack_id)
+        assert 0 < len(ps[-1].tokens) <= 64
+        # spans tile each pack gaplessly in order
+        for p in ps:
+            pos = 0
+            for s in p.spans:
+                assert s.begin == pos
+                pos = s.end
+            assert pos == len(p.tokens)
+    # document round-trip across packs
+    rebuilt: dict[str, list] = {}
+    for p in sorted(packs, key=lambda p: (p.shard, p.pack_id)):
+        for s in p.spans:
+            rebuilt.setdefault(s.doc_id, []).extend(
+                p.tokens[s.begin : s.end]
+            )
+    originals = {str(k): v for k, v in rows}
+    assert rebuilt == {k: v for k, v in originals.items() if v}
