@@ -310,42 +310,92 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_pricing_summary",
     """
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'q1' AS variant, l_returnflag AS k1, l_linestatus AS k2,
            -- exact integer cents: DECIMAL cannot survive the driver's pandas
            -- fetch (DuckDB .df() downcasts any DECIMAL to float64, so a
            -- decimal-typed Spark result can never hash-match), and summing
            -- raw doubles is order-dependent in the last ulp. The source
            -- doubles carry exactly 2 decimals, so ROUND(x*100) is exact.
            CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
-             AS sum_qty_cents,
+             AS qty_cents,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             AS sum_price_cents,
+             AS amount,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2002-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'star_rev', r_name, n_name,
+           CAST(NULL AS BIGINT),
+           -- revenue price*(1-discount) carries exactly 4 decimals; the
+           -- x10000 double is the SAME double in both engines and ties
+           -- round identically (HALF_UP == away-from-zero for positives)
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT),
+           COUNT(*)
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 2, 3
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shaped pricing summary in exact integer cents (bit-exact
-    cross-engine; see oracle comment). Shows filter pushdown + partial
-    aggregation on the star schema."""
+    """Star-schema aggregation matrix, exact integer money both engines:
+
+    * q1 — TPC-H-Q1-shaped pricing summary (filter pushdown + partial
+      aggregation over the fact table alone)
+    * star_rev — TPC-H-Q5-shaped revenue per (region, nation) through
+      the full dimension chain lineitem->orders->customer->nation->
+      region. Scale shape: nation/region broadcast always; customer
+      broadcasts at this SF and becomes the shuffle side of a sort-merge
+      at 10^8 customers; the fact->orders join shuffles on the 8-byte
+      orderkey. Revenue in exact 1e-4 units (see oracle comment).
+    """
     li = S.load_table(spark, sf_dir, "lineitem")
-    return (
+    q1 = (
         li.filter(F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            F.col("l_returnflag").alias("k1"), F.col("l_linestatus").alias("k2")
+        )
         .agg(
             F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias(
-                "sum_qty_cents"
+                "qty_cents"
             ),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-                "sum_price_cents"
+                "amount"
             ),
             F.count("*").alias("n"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .select(F.lit("q1").alias("variant"), "k1", "k2", "qty_cents",
+                "amount", "n")
     )
+    orders = S.load_table(spark, sf_dir, "orders")
+    cust = S.load_table(spark, sf_dir, "customer")
+    nat = S.load_table(spark, sf_dir, "nation")
+    reg = S.load_table(spark, sf_dir, "region")
+    rev = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("bigint")
+    )
+    star = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("k1"), F.col("n_name").alias("k2"))
+        .agg(F.sum(rev).alias("amount"), F.count("*").alias("n"))
+        .select(
+            F.lit("star_rev").alias("variant"),
+            "k1",
+            "k2",
+            F.lit(None).cast("bigint").alias("qty_cents"),
+            "amount",
+            "n",
+        )
+    )
+    return q1.unionByName(star)
 
 
 # ---------------------------------------------------------------------------
