@@ -339,6 +339,24 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY 2, 3
+    UNION ALL
+    SELECT 'brand_rev', p_brand, p_type,
+           CAST(NULL AS BIGINT),
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT),
+           COUNT(*)
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'supp_nation', n_name, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT),
+           COUNT(*)
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 2, 3
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +370,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       broadcasts at this SF and becomes the shuffle side of a sort-merge
       at 10^8 customers; the fact->orders join shuffles on the 8-byte
       orderkey. Revenue in exact 1e-4 units (see oracle comment).
+    * brand_rev — revenue per (p_brand, p_type): broadcast part dim.
+    * supp_nation — revenue per supplier nation: broadcast supplier +
+      nation chain.
     """
     li = S.load_table(spark, sf_dir, "lineitem")
     q1 = (
@@ -395,7 +416,36 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return q1.unionByName(star)
+    prt = S.load_table(spark, sf_dir, "part")
+    brand = (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("k1"), F.col("p_type").alias("k2"))
+        .agg(F.sum(rev).alias("amount"), F.count("*").alias("n"))
+        .select(
+            F.lit("brand_rev").alias("variant"),
+            "k1",
+            "k2",
+            F.lit(None).cast("bigint").alias("qty_cents"),
+            "amount",
+            "n",
+        )
+    )
+    supp = S.load_table(spark, sf_dir, "supplier")
+    sup_nat = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("k1"))
+        .agg(F.sum(rev).alias("amount"), F.count("*").alias("n"))
+        .select(
+            F.lit("supp_nation").alias("variant"),
+            "k1",
+            F.lit(None).cast("string").alias("k2"),
+            F.lit(None).cast("bigint").alias("qty_cents"),
+            "amount",
+            "n",
+        )
+    )
+    return q1.unionByName(star).unionByName(brand).unionByName(sup_nat)
 
 
 # ---------------------------------------------------------------------------
