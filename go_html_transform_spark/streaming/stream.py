@@ -500,3 +500,103 @@ def streaming_decayed_counts(
         .groupBy(partition_by)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
     )
+
+
+def streaming_ewma(
+    seq_stream: DataFrame,
+    value_col: str = "n_tok",
+    alpha: float = 0.5,
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch Arrow EWMA (operators/window.py:ewma,
+    pandas ``adjust=True`` semantics): per-entity exponentially-weighted
+    mean of all STRICTLY-PRIOR values, continued exactly across
+    micro-batches.
+
+    The adjust=True mean is s/w with the linear recursions
+    ``s = q*s + x`` and ``w = q*w + 1`` (q = 1-alpha; NaN observations
+    advance the decay but add nothing — pandas ``ignore_na=False``), so
+    the GroupState is just TWO floats per entity. Within a batch the
+    recursion vectorizes via q^i-rescaled cumulative sums processed in
+    adaptively-sized chunks (chunk length capped so q^-K stays inside
+    float range) — no per-row Python.
+
+    Leak-free: row i's output is the state BEFORE x_i (entity-first row
+    NULL), matching the batch op's shift-by-one."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q = 1.0 - alpha
+    if not (0.0 < q < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    # largest chunk with q^-K (and q^K) comfortably inside float64
+    K = max(1, min(4096, int(-280.0 / math.log10(q))))
+    out_schema = (
+        f"{partition_by} string, event_id long, {time_col} timestamp, "
+        f"{value_col}_ewma double"
+    )
+    state_schema = "s double, w double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (ent,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s0, w0 = state.get if state.exists else (0.0, 0.0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                [time_col, "event_id"], kind="mergesort", ignore_index=True
+            )
+            x = batch[value_col].astype("float64").to_numpy()
+            ok = ~np.isnan(x)
+            xz = np.where(ok, x, 0.0)
+            one = ok.astype("float64")
+            prior = np.empty(len(batch), dtype="float64")
+            s, w = float(s0), float(w0)
+            for lo in range(0, len(batch), K):
+                xs, os_ = xz[lo : lo + K], one[lo : lo + K]
+                L = len(xs)
+                qi = q ** np.arange(1, L + 1)  # q^i
+                qinv = 1.0 / qi  # q^-i
+                cs = np.cumsum(xs * qinv)
+                cw = np.cumsum(os_ * qinv)
+                s_arr = qi * (s + cs)  # state AFTER row i
+                w_arr = qi * (w + cw)
+                # output BEFORE row i: shift by one, seed with carry-in
+                prev_s = np.concatenate(([s], s_arr[:-1]))
+                prev_w = np.concatenate(([w], w_arr[:-1]))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    prior[lo : lo + L] = np.where(
+                        prev_w > 0, prev_s / prev_w, np.nan
+                    )
+                s, w = float(s_arr[-1]), float(w_arr[-1])
+            state.update((s, w))
+            yield pd.DataFrame(
+                {
+                    partition_by: ent,
+                    "event_id": batch["event_id"],
+                    time_col: batch[time_col],
+                    f"{value_col}_ewma": prior,
+                }
+            )
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60_000)
+
+    return (
+        seq_stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+        .select(partition_by, "event_id", time_col, value_col)
+        .groupBy(partition_by)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
+    )

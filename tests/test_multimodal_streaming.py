@@ -447,3 +447,57 @@ def test_chunk_audio_plumbing(spark, media):
     assert len(chunks) == (len(blob) + step - 1) // step == 4
     assert [r.start_s for r in chunks] == [0, 1, 2, 3]
     assert b"".join(bytes(r.payload) for r in chunks) == blob
+
+
+def test_streaming_ewma_cross_batch_parity(spark, tmp_path):
+    """Streaming EWMA across three time-sliced micro-batches == the batch
+    applyInPandas ewma (pandas adjust=True semantics): the two-scalar
+    (s, w) GroupState continues the weighted mean exactly."""
+    import math
+
+    from go_html_transform_spark.operators.window import ewma
+    from go_html_transform_spark.sources.tables import sequences
+
+    base = (
+        sequences(spark, SF_DIR)
+        .select("doc_id", "event_id", "event_time", "n_tok")
+        .withColumn("event_time", F.col("event_time").cast("timestamp"))
+    )
+    t1, t2 = [
+        r
+        for r in base.select(
+            F.percentile_approx("event_time", [0.33, 0.66], 10000)
+        ).first()[0]
+    ]
+    slices = [
+        base.filter(F.col("event_time") <= F.lit(t1)),
+        base.filter(
+            (F.col("event_time") > F.lit(t1)) & (F.col("event_time") <= F.lit(t2))
+        ),
+        base.filter(F.col("event_time") > F.lit(t2)),
+    ]
+    src = str(tmp_path / "slices")
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_ewma(stream, "n_tok", alpha=0.3)
+    got = ST.run_available_now(out, "stream_ewma", output_mode="append")
+    got_map = {
+        (r.doc_id, r.event_id): r["n_tok_ewma"] for r in got.collect()
+    }
+    want_map = {
+        (r.doc_id, r.event_id): r["n_tok_ewma"]
+        for r in ewma(base, "n_tok", alpha=0.3).collect()
+    }
+    assert len(got_map) == len(want_map) > 0
+    for k, w in want_map.items():
+        g = got_map[k]
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or math.isnan(g), k
+        else:
+            assert g is not None and abs(g - w) < 1e-9, (k, g, w)
