@@ -380,3 +380,35 @@ def asof_join(
         .cogroup(r_expanded.groupBy(on, "__bucket"))
         .applyInPandas(lambda l, r: fn2(l, r), out_schema)
     )
+
+
+def asof_join_multi(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str = "event_time",
+    right_time: str = "obs_time",
+    **kwargs,
+) -> DataFrame:
+    """As-of join on a COMPOSITE entity key: the key columns pack into
+    one synthetic key (null-safe, collision-free struct->json packing),
+    the single-key engine runs unchanged — same one-exchange/one-sort
+    plan, now keyed by the packed column — and the original key columns
+    come back in the output. The right side's copies of the key columns
+    are dropped (they equal the left's by construction).
+
+    Use when the entity is e.g. (user_id, device) — pre-concatenating by
+    hand is the common footgun (a raw string concat collides on
+    ('a', 'bc') vs ('ab', 'c'); to_json does not)."""
+    if not on or len(on) < 1:
+        raise ValueError("on must name at least one key column")
+    if len(on) == 1:
+        return asof_join(
+            left, right, on[0], left_time, right_time, **kwargs
+        )
+    key = "__asof_key"
+    pack = F.to_json(F.struct(*[F.col(c) for c in on]))
+    l2 = left.withColumn(key, pack)
+    r2 = right.withColumn(key, pack).drop(*on)
+    out = asof_join(l2, r2, key, left_time, right_time, **kwargs)
+    return out.drop(key)

@@ -381,3 +381,55 @@ def test_range_join_salted_parity(spark):
             ).collect()
         )
         assert salted == base, n_salts
+
+
+def test_asof_join_multi_composite_key(spark):
+    """Composite (user, device) as-of == per-pair pandas merge_asof; the
+    string-concat collision case ('a','bc') vs ('ab','c') resolves
+    correctly; key columns survive into the output."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from go_html_transform_spark.operators.asof import asof_join_multi
+
+    B = dt.datetime(2026, 1, 1)
+
+    def t(s):
+        return B + dt.timedelta(seconds=s)
+
+    left_rows = [
+        ("a", "bc", t(10), 1),
+        ("ab", "c", t(10), 2),
+        ("a", "bc", t(40), 3),
+        ("x", "y", t(5), 4),
+    ]
+    right_rows = [
+        ("a", "bc", t(8), 100.0),
+        ("a", "bc", t(35), 200.0),
+        ("ab", "c", t(9), 300.0),
+    ]
+    left = spark.createDataFrame(
+        left_rows, "user string, device string, event_time timestamp, event_id int"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user string, device string, obs_time timestamp, label double"
+    )
+    out = asof_join_multi(
+        left, right, on=["user", "device"], direction="backward"
+    )
+    got = {r.event_id: r.label for r in out.collect()}
+    assert got == {1: 100.0, 2: 300.0, 3: 200.0, 4: None}
+    assert {"user", "device"} <= set(out.columns)
+    # pandas oracle over the same composite key
+    lp = pd.DataFrame(left_rows, columns=["user", "device", "t", "event_id"])
+    rp = pd.DataFrame(right_rows, columns=["user", "device", "t", "label"])
+    m = pd.merge_asof(
+        lp.sort_values("t"), rp.sort_values("t"),
+        on="t", by=["user", "device"], direction="backward",
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.label) else float(r.label))
+        for r in m.itertuples()
+    }
+    assert got == want
