@@ -32,7 +32,7 @@ is single-document batch, SURVEY §2.14).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_html_transform_spark.operators.asof import asof_join
@@ -167,3 +167,44 @@ def audit_temporal_leakage(
         stored.alias("stored_label"),
         expected.alias("expected_label"),
     )
+
+
+def incremental_features_from_snapshots(
+    spark: SparkSession,
+    table,
+    prev_features: DataFrame,
+    prev_snapshot: int,
+    labels: DataFrame,
+    key_col: str = "doc_id",
+    time_col: str = "event_time",
+) -> tuple[DataFrame, dict]:
+    """Snapshot-driven backfill: the event delta is read from the
+    ManifestTable's manifests — exactly the data files appended since
+    ``prev_snapshot`` (sources/manifest_table.py), never a table diff.
+    Composes manifest bookkeeping with :func:`incremental_features`:
+    at a 0.1% daily append the job reads 0.1% of the fact data plus the
+    dirty entities' history, and the untouched majority of the feature
+    table is a broadcast anti-join away.
+
+    Requires an append-only history between the snapshots (the
+    stats_maintenance contract); raises on a non-append history because
+    a silent full diff would hide a 100 TB scan behind this API.
+    Returns (next feature table, {"files_scanned", "snapshot"})."""
+    cur = table.current_snapshot_id()
+    if cur == prev_snapshot:
+        return prev_features, {"files_scanned": 0, "snapshot": cur}
+    old_paths = {f.path for f in table.files(snapshot=prev_snapshot)}
+    cur_files = table.files(snapshot=cur)
+    if not old_paths.issubset({f.path for f in cur_files}):
+        raise ValueError(
+            "non-append history between snapshots "
+            f"{prev_snapshot}->{cur}: run a full recompute"
+        )
+    new_paths = [f.path for f in cur_files if f.path not in old_paths]
+    if not new_paths:
+        return prev_features, {"files_scanned": 0, "snapshot": cur}
+    new_events = spark.read.parquet(*new_paths)
+    out = incremental_features(
+        prev_features, new_events, labels, None, key_col, time_col
+    )
+    return out, {"files_scanned": len(new_paths), "snapshot": cur}

@@ -160,3 +160,45 @@ def test_audit_catches_fabricated_label_for_unlabeled_key(spark, data):
     forged = unlabeled.withColumn("label_value", F.lit(0.123))
     bad = INC.audit_temporal_leakage(forged, old_lab)
     assert bad.count() == forged.count()
+
+
+def test_incremental_features_from_snapshots(spark, tmp_path):
+    """Manifest-snapshot-driven backfill == full recompute over the
+    current snapshot, scanning only the appended files; same-snapshot
+    call is a no-op; non-append history raises."""
+    from go_html_transform_spark.plans.incremental import (
+        compute_features,
+        incremental_features_from_snapshots,
+    )
+    from go_html_transform_spark.sources.manifest_table import ManifestTable
+
+    ev, lab = _corpus(seed=11)
+    ev0 = spark.createDataFrame(ev[:240], EV_SCHEMA)
+    ev1 = spark.createDataFrame(ev[240:], EV_SCHEMA)
+    labels = spark.createDataFrame(lab, LAB_SCHEMA)
+
+    table = ManifestTable(str(tmp_path / "facts"))
+    table.append(ev0)
+    snap1 = table.current_snapshot_id()
+    feats0 = compute_features(table.scan(spark), labels)
+
+    same, info0 = incremental_features_from_snapshots(
+        spark, table, feats0, snap1, labels
+    )
+    assert info0["files_scanned"] == 0 and same is feats0
+
+    table.append(ev1)
+    got, info = incremental_features_from_snapshots(
+        spark, table, feats0, snap1, labels
+    )
+    n_new = len(table.files()) - len(table.files(snapshot=snap1))
+    assert info["files_scanned"] == n_new > 0
+    want = compute_features(table.scan(spark), labels)
+    assert _rows(got) == _rows(want.select(got.columns))
+
+    # overwrite breaks append-only -> loud failure, never a silent scan
+    table.overwrite(ev0)
+    with pytest.raises(ValueError):
+        incremental_features_from_snapshots(
+            spark, table, feats0, snap1, labels
+        )
