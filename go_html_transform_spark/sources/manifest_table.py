@@ -121,9 +121,12 @@ class ManifestTable:
             for e in doc["files"]
         ]
 
-    def _commit(self, files: list[DataFile], parent: int) -> int:
+    def _commit(
+        self, files: list[DataFile], parent: int, extra: dict | None = None
+    ) -> int:
         snap = parent + 1
         doc = {
+            **(extra or {}),
             "snapshot_id": snap,
             "parent_id": parent,
             "files": [
@@ -160,11 +163,18 @@ class ManifestTable:
             out.append(_file_stats(os.path.join(commit_dir, name), stats_cols))
         return out
 
-    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
-        """New snapshot = parent's files + the new commit's files."""
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """New snapshot = parent's files + the new commit's files.
+        ``extra`` rides inside the manifest doc itself — metadata that
+        must be ATOMIC with the commit (e.g. the streaming epoch id)."""
         parent = self.current_snapshot_id()
         files = self._read_manifest(parent) + self._write_data(df, stats_cols)
-        return self._commit(files, parent)
+        return self._commit(files, parent, extra)
 
     def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
         """New snapshot referencing ONLY the new files (old snapshots stay
@@ -299,3 +309,54 @@ def expire_snapshots(table: ManifestTable, keep_last: int = 2) -> dict:
         except FileNotFoundError:
             pass
     return {"expired": len(expired), "deleted_files": len(dead)}
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    table: ManifestTable,
+    query_name: str = "manifest_sink",
+    stats_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingestion with atomic snapshots: every micro-batch
+    commits one table append via ``foreachBatch``, EXACTLY ONCE — the
+    batch's epoch id rides INSIDE the manifest document, so epoch and
+    data commit in the same atomic VERSION swap: a writer killed at any
+    point either committed the whole batch (epoch visible -> replay
+    skipped) or none of it (orphaned data files, invisible). Structured
+    Streaming's foreachBatch is at-least-once after restarts; the
+    epoch-id check upgrades this sink to exactly-once. Every micro-batch
+    becomes a time-travelable snapshot.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        last = last_committed_epoch(table)
+        if last is not None and epoch_id <= last:
+            return  # replayed batch: already committed atomically
+        table.append(batch_df, stats_cols, extra={"epoch_id": int(epoch_id)})
+
+    writer = stream_df.writeStream.queryName(query_name).foreachBatch(commit)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def last_committed_epoch(table: ManifestTable) -> int | None:
+    """Newest epoch_id on the current snapshot chain (walks parents past
+    non-streaming commits; stops at expired manifests — after an
+    expire_snapshots pass older epochs are unreplayable anyway)."""
+    snap = table.current_snapshot_id()
+    while snap > 0:
+        try:
+            with open(table._manifest_path(snap)) as f:
+                doc = json.load(f)
+        except FileNotFoundError:
+            return None
+        if "epoch_id" in doc:
+            return int(doc["epoch_id"])
+        snap = int(doc.get("parent_id", 0))
+    return None

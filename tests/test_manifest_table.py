@@ -187,3 +187,58 @@ def test_expire_snapshots_gc_unreachable_only(spark, table):
 
     with _pytest.raises(FileNotFoundError):
         table._read_manifest(1)
+
+
+def test_stream_to_table_exactly_once(spark, table, tmp_path):
+    """Streaming sink: one snapshot per micro-batch, row-exact content,
+    epoch id atomic with the commit, and a replayed epoch is skipped."""
+    from go_html_transform_spark.sources.manifest_table import (
+        last_committed_epoch,
+        stream_to_table,
+    )
+
+    base = _range_df(spark, 0, 300)
+    src = str(tmp_path / "src")
+    for lo in (0, 100, 200):
+        base.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + 100)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_table(
+        stream, table, stats_cols=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    # three micro-batches -> three snapshots, content == source
+    assert table.current_snapshot_id() == 3
+    got = sorted(r.event_id for r in table.scan(spark).collect())
+    assert got == list(range(300))
+    last = last_committed_epoch(table)
+    assert last is not None
+    # replayed batch (same epoch id) is skipped atomically
+    from go_html_transform_spark.sources.manifest_table import ManifestTable
+
+    dup = _range_df(spark, 900, 950)
+    before = table.current_snapshot_id()
+    # simulate foreachBatch replay: epoch <= last
+    from go_html_transform_spark.sources import manifest_table as MT
+
+    def replay(epoch):
+        l = MT.last_committed_epoch(table)
+        if l is not None and epoch <= l:
+            return False
+        table.append(dup, extra={"epoch_id": epoch})
+        return True
+
+    assert replay(last) is False
+    assert table.current_snapshot_id() == before
+    assert replay(last + 1) is True
+    assert table.current_snapshot_id() == before + 1
+    # a plain (non-streaming) append doesn't lose the epoch chain
+    table.append(_range_df(spark, 1000, 1010))
+    assert last_committed_epoch(table) == last + 1
