@@ -182,20 +182,57 @@ def agg_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_longest_sequences",
     _cte(
         """
-        SELECT event_id, n_tok FROM seq
-        ORDER BY n_tok DESC, event_id LIMIT 20
+        SELECT 'global' AS variant, CAST(NULL AS VARCHAR) AS grp,
+               event_id, n_tok
+        FROM (SELECT event_id, n_tok FROM seq
+              ORDER BY n_tok DESC, event_id LIMIT 20)
+        UNION ALL
+        SELECT 'per_source', source, event_id, n_tok FROM (
+            SELECT source, event_id, n_tok,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_tok DESC, event_id) AS rk
+            FROM seq
+        ) WHERE rk <= 3
         """
     ),
 )
 def topk_longest_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orderBy+limit top-k — physical plan is TakeOrderedAndProject (per-
-    partition heaps + driver merge), never a global sort."""
+    """Top-k matrix:
+
+    * global — orderBy+limit: physical plan is TakeOrderedAndProject
+      (per-partition heaps + driver merge), never a global sort.
+    * per_source — top-3 per group via a ranked window: ONE exchange on
+      the group key; at 10^12 rows the rank's sort is per-group-bounded
+      and AQE splits skewed groups (never a driver-side collect of
+      anything but the final k x |groups| rows).
+    """
+    from pyspark.sql import Window as _W
+
     seq = S.sequences(spark, sf_dir)
-    return (
+    g = (
         seq.select("event_id", "n_tok")
         .orderBy(F.col("n_tok").desc(), "event_id")
         .limit(20)
+        .select(
+            F.lit("global").alias("variant"),
+            F.lit(None).cast("string").alias("grp"),
+            "event_id",
+            "n_tok",
+        )
     )
+    w = _W.partitionBy("source").orderBy(F.col("n_tok").desc(), "event_id")
+    p = (
+        seq.select("source", "event_id", "n_tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.lit("per_source").alias("variant"),
+            F.col("source").alias("grp"),
+            "event_id",
+            "n_tok",
+        )
+    )
+    return g.unionByName(p)
 
 
 # ---------------------------------------------------------------------------
