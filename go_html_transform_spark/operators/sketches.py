@@ -229,6 +229,70 @@ def value_quantiles(
     )
 
 
+def value_quantiles_by(
+    df: DataFrame,
+    group_col: str,
+    col: str = "n_tok",
+    qs_ppm: tuple[int, ...] = (500_000, 900_000),
+) -> DataFrame:
+    """(group, q_ppm, value): :func:`value_quantiles` per group — the
+    histogram exchange keys on (group, v) (still vocab-bounded PER
+    GROUP), and the cumsum window partitions by group, so no
+    single-partition move ever sees more than one group's |domain|."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(col).alias("v")
+    ).agg(F.count("*").alias("c"))
+    cum = F.sum("c").over(
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("c").over(
+        Window.partitionBy("grp").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = hist.select("grp", "v", cum.alias("cum"), total.alias("n"))
+    scored = ranked.select(
+        "grp",
+        "v",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in qs_ppm])).alias("q_ppm"),
+    )
+    x = F.col("q_ppm").cast("long") * F.col("n") + F.lit(999_999)
+    thr = ((x - F.pmod(x, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+    return (
+        scored.filter(F.col("cum") >= thr)
+        .groupBy("grp", "q_ppm")
+        .agg(F.min("v").cast("long").alias("value"))
+    )
+
+
+def value_quantiles_by_sql(
+    rel: str = "seq",
+    group_col: str = "source",
+    col: str = "n_tok",
+    qs_ppm: tuple[int, ...] = (500_000, 900_000),
+) -> str:
+    qs = ", ".join(str(q) for q in qs_ppm)
+    return f"""
+        SELECT grp, q_ppm, CAST(MIN(v) AS BIGINT) AS value
+        FROM (
+          SELECT grp, v,
+                 CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+          FROM (SELECT {group_col} AS grp, {col} AS v, COUNT(*) AS c
+                FROM {rel} GROUP BY 1, 2)
+        ), unnest([{qs}]) AS u(q_ppm)
+        WHERE cum >= (q_ppm * n + 999999) // 1000000
+        GROUP BY grp, q_ppm
+    """
+
+
 def value_quantiles_sql(
     rel: str = "seq",
     col: str = "n_tok",

@@ -551,6 +551,10 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'lm_bucket', CAST(doc_id[2:] AS INTEGER),
                lm_bucket, lm_metric
         FROM ({SK.lm_perplexity_buckets_sql('doc')})
+        UNION ALL
+        SELECT 'ntok_q_by_src', CAST(grp[4:] AS INTEGER),
+               CAST(q_ppm AS INTEGER), value
+        FROM ({SK.value_quantiles_by_sql('seq', 'source')})
         """
     ),
 )
@@ -596,6 +600,10 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       statistics, one broadcast CASE assignment; k1 = numeric doc id,
       k2 = bucket (0=head most-typical, 1=middle, 2=tail),
       cnt = the exact scaled LM metric
+    * ntok_q_by_src — per-source exact p50/p90 of n_tok
+      (sketches.value_quantiles_by): the histogram machinery partitioned
+      by group — cumsum windows never see more than one group's |domain|;
+      k1 = numeric source id, k2 = q ppm, cnt = the order statistic
 
     Every count is exact-integer; each batch-sketch plan is a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
@@ -674,6 +682,14 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_ppm").cast("int").alias("k2"),
         F.col("value").alias("cnt"),
     )
+    qby = SK.value_quantiles_by(
+        S.sequences(spark, sf_dir).select("source", "n_tok"), "source"
+    ).select(
+        F.lit("ntok_q_by_src").alias("variant"),
+        F.substring("grp", 4, 8).cast("int").alias("k1"),
+        F.col("q_ppm").cast("int").alias("k2"),
+        F.col("value").alias("cnt"),
+    )
     lm_bkt = SK.lm_perplexity_buckets(doc).select(
         F.lit("lm_bucket").alias("variant"),
         F.substring("doc_id", 2, 16).cast("int").alias("k1"),
@@ -691,4 +707,5 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(span)
         .unionByName(quant)
         .unionByName(lm_bkt)
+        .unionByName(qby)
     )

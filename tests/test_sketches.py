@@ -327,3 +327,29 @@ def test_lm_perplexity_buckets_partition_properties(spark):
     assert mean[0] > mean[1] > mean[2], mean
     again = {r.doc_id: r.lm_bucket for r in SK.lm_perplexity_buckets(doc).collect()}
     assert again == {r.doc_id: r.lm_bucket for r in rows}
+
+
+def test_value_quantiles_by_group_order_statistics(spark):
+    """Per-group quantiles equal python order statistics per group."""
+    import math
+    import random
+
+    rng = random.Random(8)
+    rows = [(rng.choice(["a", "b", "c"]), rng.choice([1, 2, 3, 8, 40]))
+            for _ in range(600)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    qs = (500_000, 900_000)
+    got = {
+        (r.grp, r.q_ppm): r.value
+        for r in SK.value_quantiles_by(df, "source", "n_tok", qs).collect()
+    }
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, v in rows:
+        per[g].append(v)
+    for g, vals in per.items():
+        s = sorted(vals)
+        for q in qs:
+            k = max(1, math.ceil(q * len(s) / 1_000_000))
+            assert got[(g, q)] == s[k - 1], (g, q)
