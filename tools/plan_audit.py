@@ -49,6 +49,29 @@ def _range_join_demo(spark, sf_dir):
     )
 
 
+def _star_join_demo(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_html_transform_spark.sources import tables as S
+
+    li = S.load_table(spark, sf_dir, "lineitem")
+    orders = S.load_table(spark, sf_dir, "orders")
+    cust = S.load_table(spark, sf_dir, "customer")
+    nat = S.load_table(spark, sf_dir, "nation")
+    reg = S.load_table(spark, sf_dir, "region")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("amount"), F.count("*").alias("n"))
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -215,6 +238,15 @@ def main() -> None:
             "the cumsum window runs over |domain| rows (the single-"
             "partition Window is a few-KB step, never a corpus sort).",
             SK.value_quantiles(seq.select("n_tok"), "n_tok"),
+        ),
+        (
+            "TPC-H-Q5-shaped star join (revenue per region/nation)",
+            "MUST: nation/region dims BroadcastHashJoin; the fact->orders "
+            "join shuffles on the 8-byte orderkey (SortMergeJoin/"
+            "ShuffledHashJoin at scale; broadcast at this SF is also "
+            "acceptable); no CartesianProduct/NestedLoop anywhere; final "
+            "aggregate partial map-side.",
+            _star_join_demo(spark, sf_dir),
         ),
         (
             "PQ encode (product quantization)",
