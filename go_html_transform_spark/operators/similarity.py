@@ -648,3 +648,136 @@ def ivf_topk_indexed(
         .limit(k)
     )
     return out, len(paths), total
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization over coarse-cluster residuals
+# ---------------------------------------------------------------------------
+
+
+def _residual(vec: Column, centroids: list[tuple[int, list[float]]],
+              cid_col: Column) -> Column:
+    """v - centroid[cid], all literals: the centroid table is an
+    array-of-arrays literal indexed by centroid id (ids are the dense
+    0..k-1 seed ids by construction)."""
+    table = F.array(*[_lit_vec(cv) for _, cv in sorted(centroids)])
+    chosen = F.element_at(table, cid_col + 1)
+    return F.zip_with(vec, chosen, lambda a, b: a - b)
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
+    """The canonical billion-scale ANN layout (faiss IVFPQ): coarse
+    cluster id + a PQ code of the RESIDUAL (v - centroid). Residuals
+    concentrate near the origin, so the same 16-bit code budget spends
+    its resolution inside the cluster instead of re-encoding the
+    cluster's position — strictly more informative per bit than flat PQ.
+
+    Zero shuffle end-to-end: assignment is the literal-codebook argmax,
+    the residual is a zip_with against a literal centroid table, the PQ
+    encode is the struct-min argmin — one projection over the scan.
+    Residual codebooks are seeded from the ksub lowest-id vectors'
+    residuals (the pq_codebooks convention — deterministic, so tests and
+    engines reproduce the identical index).
+
+    Returns (DataFrame[id, centroid_id, pq_code], residual codebooks)."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    res = _residual(
+        F.col(vec_col).cast("array<double>"), centroids, F.col("centroid_id")
+    )
+    with_res = assigned.withColumn("__res", res)
+    books = pq_codebooks(with_res, m, ksub, id_col, "__res")
+    enc = pq_encode(with_res, books, vec_col="__res")
+    return enc.drop("__res"), books
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ search: rank centroids driver-side, build a PER-PROBED-
+    CLUSTER ADC table from the query's residual against that cluster
+    (the asymmetric part), approximate-distance only rows inside probed
+    clusters, exact-cosine rescore of the best ``rerank``. The per-row
+    table choice is a codegen'd CASE over nprobe literal tables."""
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    cents = dict(centroids)
+    probes = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    m = len(books)
+    ksub = len(books[0])
+    ds = len(books[0][0][1])
+
+    def adc_tables(cid: int) -> list[list[float]]:
+        qres = [float(x) - c for x, c in zip(query_vec, cents[cid])]
+        out = []
+        for j in range(m):
+            sub = qres[j * ds : (j + 1) * ds]
+            row = []
+            for _, cv in books[j]:
+                acc = 0.0
+                for x, y in zip(sub, cv):
+                    acc += (x - y) * (x - y)
+                row.append(acc)
+            out.append(row)
+        return out
+
+    cand = encoded.filter(F.col("centroid_id").isin([int(c) for c in probes]))
+    # unpack code_j = (pq_code div ksub^j) % ksub, look up the probed
+    # cluster's table
+    adc = F.lit(0.0)
+    for j in range(m):
+        code_j = F.pmod(
+            (F.col("pq_code") - F.pmod(F.col("pq_code"), F.lit(ksub**j)))
+            / F.lit(ksub**j),
+            F.lit(ksub),
+        ).cast("int")
+        expr = None
+        for cid in probes:
+            t = F.array(*[F.lit(d) for d in adc_tables(cid)[j]])
+            branch = F.element_at(t, code_j + 1)
+            expr = (
+                F.when(F.col("centroid_id") == cid, branch)
+                if expr is None
+                else expr.when(F.col("centroid_id") == cid, branch)
+            )
+        adc = adc + expr
+    short = (
+        cand.withColumn("__adc", adc)
+        .orderBy(F.asc("__adc"), F.col(id_col))
+        .limit(rerank)
+    )
+    q = _lit_vec([float(x) for x in query_vec])
+    return (
+        short.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )

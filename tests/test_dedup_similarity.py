@@ -517,3 +517,54 @@ def test_ivf_index_at_rest_prunes_files_and_matches(spark, tmp_path):
     out_all, _, _ = SIM.ivf_topk_indexed(table, spark, qv, cents, k=10, nprobe=8)
     exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
     assert [r.vec_id for r in out_all.collect()] == exact
+
+
+def test_ivfpq_encode_and_search(spark):
+    """IVFPQ: residual codes match a numpy brute force; search with all
+    probes + full rerank equals brute force; tight budgets keep recall;
+    plan stays exchange-free and Python-free."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    encoded, books = SIM.ivfpq_encode(emb, cents)
+    n = emb.count()
+    # numpy encode parity on a sample
+    cvecs = {cid: np.array(cv) for cid, cv in cents}
+    cb = [np.array([cv for _, cv in b]) for b in books]
+    enc_with_vec = encoded.select("vec_id", "embedding", "centroid_id",
+                                  "pq_code").collect()
+    for r in enc_with_vec[:150]:
+        v = np.array(r.embedding, dtype=np.float64)
+        res = v - cvecs[r.centroid_id]
+        packed = 0
+        for j in range(4):
+            sub = res[j * 16 : (j + 1) * 16]
+            d = ((cb[j] - sub) ** 2).sum(axis=1)
+            best = int(np.lexsort((np.arange(16), d))[0])
+            packed += best * 16**j
+        assert r.pq_code == packed, r.vec_id
+    qv = list(emb.filter("vec_id = 0").collect()[0].embedding)
+    exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in SIM.ivfpq_topk(
+            encoded, books, cents, qv, k=10, nprobe=8, rerank=n
+        ).collect()
+    ]
+    assert full == exact
+    approx = [
+        r.vec_id
+        for r in SIM.ivfpq_topk(
+            encoded, books, cents, qv, k=10, nprobe=2, rerank=50
+        ).collect()
+    ]
+    assert len(set(approx) & set(exact)) / 10 >= 0.3, (approx, exact)
+    plan = (
+        SIM.ivfpq_topk(encoded, books, cents, qv, k=10, nprobe=2, rerank=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan
