@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 # (name, pattern, placeholder) — applied strictly in this order
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("url", "https?://[^ ]+", "<URL>"),
+    # explicit whitespace charset: bare `[^ ]` matches \n/\t in both Java
+    # regex and RE2, so one URL would consume the rest of the line AND any
+    # following lines up to the next space — destroying adjacent corpus text
+    ("url", "https?://[^ \\t\\n\\r]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
     ("digits", "[0-9]{6,}", "<NUM>"),

@@ -391,15 +391,23 @@ def asof_join_multi(
     **kwargs,
 ) -> DataFrame:
     """As-of join on a COMPOSITE entity key: the key columns pack into
-    one synthetic key (null-safe, collision-free struct->json packing),
+    one synthetic NATIVE STRUCT key (null-safe and collision-free — a
+    struct is compared/hash-partitioned field-wise, never serialized),
     the single-key engine runs unchanged — same one-exchange/one-sort
     plan, now keyed by the packed column — and the original key columns
     come back in the output. The right side's copies of the key columns
     are dropped (they equal the left's by construction).
 
+    The struct stays entirely JVM-side for the 'union' (plan of record)
+    and 'bucketed' strategies, so the exchange key is the raw fields —
+    no per-row JSON string materialized on 10^12 rows. Only the
+    'cogroup' strategy falls back to ``to_json`` packing: its merge runs
+    ``pandas.merge_asof(by=key)``, which needs a hashable SCALAR (a
+    struct arrives in pandas as an unhashable dict).
+
     Use when the entity is e.g. (user_id, device) — pre-concatenating by
     hand is the common footgun (a raw string concat collides on
-    ('a', 'bc') vs ('ab', 'c'); to_json does not)."""
+    ('a', 'bc') vs ('ab', 'c'); a struct/json key does not)."""
     if not on or len(on) < 1:
         raise ValueError("on must name at least one key column")
     if len(on) == 1:
@@ -407,7 +415,10 @@ def asof_join_multi(
             left, right, on[0], left_time, right_time, **kwargs
         )
     key = "__asof_key"
-    pack = F.to_json(F.struct(*[F.col(c) for c in on]))
+    if kwargs.get("strategy", "union") == "cogroup":
+        pack = F.to_json(F.struct(*[F.col(c) for c in on]))
+    else:
+        pack = F.struct(*[F.col(c) for c in on])
     l2 = left.withColumn(key, pack)
     r2 = right.withColumn(key, pack).drop(*on)
     out = asof_join(l2, r2, key, left_time, right_time, **kwargs)

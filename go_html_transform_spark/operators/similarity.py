@@ -633,6 +633,11 @@ def ivf_topk_indexed(
             if f.path not in seen:
                 seen.add(f.path)
                 paths.append(f.path)
+    if not paths:
+        # probed centroids own no files (empty clusters, or footer stats
+        # pruned everything): empty top-k, not a read.parquet() crash
+        empty = spark.createDataFrame([], f"{id_col} long, cos double")
+        return empty, 0, total
     q = _lit_vec([float(x) for x in query_vec])
     cand = spark.read.parquet(*paths).filter(
         F.col("centroid_id").isin([int(c) for c in probes])

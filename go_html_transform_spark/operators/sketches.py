@@ -219,9 +219,10 @@ def value_quantiles(
         "n",
         F.explode(F.array(*[F.lit(q) for q in qs_ppm])).alias("q_ppm"),
     )
-    # exact integer ceil(q*n/1e6): (x - x%1e6)/1e6 on x = q*n + 999999
-    x = F.col("q_ppm").cast("long") * F.col("n") + F.lit(999_999)
-    thr = ((x - F.pmod(x, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+    # exact integer ceil(q*n/1e6) = (q*n + 999999) div 1e6 — the `div`
+    # operator is int64 integral division; a double `/` would round once
+    # q*n + 999999 exceeds 2^53 (n ~ 9e9 rows), yielding thr-1
+    thr = F.expr("(CAST(q_ppm AS BIGINT) * n + 999999) div 1000000")
     return (
         scored.filter(F.col("cum") >= thr)
         .groupBy("q_ppm")
@@ -262,8 +263,7 @@ def value_quantiles_by(
         "n",
         F.explode(F.array(*[F.lit(q) for q in qs_ppm])).alias("q_ppm"),
     )
-    x = F.col("q_ppm").cast("long") * F.col("n") + F.lit(999_999)
-    thr = ((x - F.pmod(x, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+    thr = F.expr("(CAST(q_ppm AS BIGINT) * n + 999999) div 1000000")
     return (
         scored.filter(F.col("cum") >= thr)
         .groupBy("grp", "q_ppm")
@@ -489,18 +489,21 @@ def lm_perplexity_buckets(
     1. per-doc metric m = lm_sum*1000 // lm_pairs (exact scaled mean of
        corpus bigram counts — HIGH m = typical text = CCNet 'head');
     2. m is affinely quantized to ``levels`` integer levels between the
-       observed corpus [min, max] (one tiny min/max aggregate — the
-       bounded-domain contract value_quantiles needs, independent of
-       corpus size);
+       observed corpus [min, max];
     3. the head/tail thresholds are exact order statistics of the
-       quantized metric (value_quantiles — histogram + cumsum, one
-       vocab-bounded exchange);
+       quantized metric — and because the quantization is MONOTONE
+       non-decreasing, order statistics commute with it: the quantized
+       threshold equals quantize(raw threshold). So min, max, head and
+       tail all come out of ONE value_quantiles pass over the RAW metric
+       (q=0 ppm is the min — cum >= 0 matches every row; q=1e6 ppm is
+       the max), instead of a separate min/max action — one pass over a
+       10^12-doc frame, not two;
     4. bucket assignment is one broadcast of the 2-row threshold table +
        a codegen'd CASE: 0 = head (q >= tail threshold: most typical),
        1 = middle, 2 = tail.
 
-    Scale shape on top of bigram_lm_stats' own plan: one extra min/max
-    agg (driver-sized), one |levels|-bounded quantile pass, one
+    Scale shape on top of bigram_lm_stats' own plan: ONE |metric
+    domain|-bounded quantile pass (histogram + cumsum exchange), one
     broadcast. Docs with < 2 tokens drop out (no pairs — the
     bigram_lm_stats contract)."""
     stats = bigram_lm_stats(df, id_col, tokens)
@@ -509,22 +512,25 @@ def lm_perplexity_buckets(
         - F.pmod(F.col("lm_sum") * F.lit(1000), F.col("lm_pairs"))
     ) / F.col("lm_pairs")
     scored = stats.select(id_col, m.cast("long").alias("lm_metric"))
-    lo, hi = scored.agg(
-        F.min("lm_metric"), F.max("lm_metric")
-    ).collect()[0]
+    qs = tuple(sorted({0, head_ppm, tail_ppm, 1_000_000}))
+    raw = {
+        int(r["q_ppm"]): int(r["value"])
+        for r in value_quantiles(
+            scored.select("lm_metric"), "lm_metric", qs_ppm=qs
+        ).collect()
+    }
+    lo, hi = raw[0], raw[1_000_000]
     span = max(1, int(hi) - int(lo) + 1)
     # exact floor division idiom (x - x%span)/span: the double divide of
     # an exact multiple with quotient <= levels is exact — no 2^53 hazard
     x = (F.col("lm_metric") - F.lit(int(lo))) * F.lit(levels)
     qcol = ((x - F.pmod(x, F.lit(span))) / F.lit(span)).cast("long")
     quantized = scored.withColumn("__q", qcol)
-    thr = {
-        int(r["q_ppm"]): int(r["value"])
-        for r in value_quantiles(
-            quantized.select("__q"), "__q", qs_ppm=(head_ppm, tail_ppm)
-        ).collect()
-    }
-    h, t = thr[head_ppm], thr[tail_ppm]
+
+    def quantize(v: int) -> int:
+        return ((v - int(lo)) * levels) // span
+
+    h, t = quantize(raw[head_ppm]), quantize(raw[tail_ppm])
     bucket = (
         F.when(F.col("__q") > F.lit(t), F.lit(0))  # head: most typical
         .when(F.col("__q") > F.lit(h), F.lit(1))  # middle

@@ -329,13 +329,28 @@ def stream_to_table(
     epoch-id check upgrades this sink to exactly-once. Every micro-batch
     becomes a time-travelable snapshot.
 
+    Epoch ids are only comparable WITHIN one query lifetime: a restart
+    from a new (or no) checkpoint resets them to 0, so a bare
+    ``epoch <= last`` check would silently drop every batch of a
+    subsequent ingestion run as a "replay". The manifest therefore
+    records a ``run_id`` next to the epoch — the checkpoint path when
+    one is given (replays can only originate from the same checkpoint),
+    else a fresh uuid — and a batch is skipped only when BOTH match.
+
     Returns the started StreamingQuery (caller awaits/stops)."""
+    run_id = (
+        os.path.abspath(checkpoint_dir) if checkpoint_dir else uuid.uuid4().hex
+    )
 
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
-        last = last_committed_epoch(table)
+        last = last_committed_epoch(table, run_id=run_id)
         if last is not None and epoch_id <= last:
-            return  # replayed batch: already committed atomically
-        table.append(batch_df, stats_cols, extra={"epoch_id": int(epoch_id)})
+            return  # replayed batch of THIS run: already committed atomically
+        table.append(
+            batch_df,
+            stats_cols,
+            extra={"epoch_id": int(epoch_id), "run_id": run_id},
+        )
 
     writer = stream_df.writeStream.queryName(query_name).foreachBatch(commit)
     if checkpoint_dir:
@@ -345,10 +360,16 @@ def stream_to_table(
     return writer.start()
 
 
-def last_committed_epoch(table: ManifestTable) -> int | None:
+def last_committed_epoch(
+    table: ManifestTable, run_id: str | None = None
+) -> int | None:
     """Newest epoch_id on the current snapshot chain (walks parents past
     non-streaming commits; stops at expired manifests — after an
-    expire_snapshots pass older epochs are unreplayable anyway)."""
+    expire_snapshots pass older epochs are unreplayable anyway).
+
+    With ``run_id``, only manifests committed by that query lifetime
+    count — epoch ids from other runs (which restart at 0) must not
+    shadow this run's replay detection."""
     snap = table.current_snapshot_id()
     while snap > 0:
         try:
@@ -356,7 +377,9 @@ def last_committed_epoch(table: ManifestTable) -> int | None:
                 doc = json.load(f)
         except FileNotFoundError:
             return None
-        if "epoch_id" in doc:
+        if "epoch_id" in doc and (
+            run_id is None or doc.get("run_id") == run_id
+        ):
             return int(doc["epoch_id"])
         snap = int(doc.get("parent_id", 0))
     return None

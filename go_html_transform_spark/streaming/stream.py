@@ -414,8 +414,11 @@ def streaming_decayed_counts(
     time-decayed event count over STRICTLY-PRIOR buckets, carried across
     micro-batches in GroupState.
 
-    State per entity is ``horizon + 1`` scalars — the newest bucket id
-    and the counts of the last ``horizon`` buckets — CONSTANT regardless
+    State per entity is ``horizon + 2`` scalars — the newest bucket id
+    and the counts of the last ``horizon + 1`` buckets (an event in the
+    SAME bucket continuing into the next micro-batch still needs the
+    count at ``top - horizon``, so the newest bucket's window reaches one
+    bucket further back than the newest bucket itself) — CONSTANT regardless
     of stream length (the streaming-CMS state discipline), and evictable
     via an optional processing-time timeout.
 
@@ -438,7 +441,7 @@ def streaming_decayed_counts(
         f"decayed_{bucket_seconds}s_fp long"
     )
     state_schema = "top_bucket long, " + ", ".join(
-        f"c{i} long" for i in range(horizon)
+        f"c{i} long" for i in range(horizon + 1)
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -455,9 +458,9 @@ def streaming_decayed_counts(
             vals = state.get
             top, carried = vals[0], list(vals[1:])
         else:
-            top, carried = None, [0] * horizon
+            top, carried = None, [0] * (horizon + 1)
         counts: dict[int, int] = (
-            {top - i: carried[i] for i in range(horizon) if carried[i]}
+            {top - i: carried[i] for i in range(horizon + 1) if carried[i]}
             if top is not None
             else {}
         )
@@ -480,7 +483,7 @@ def streaming_decayed_counts(
             state.update(
                 tuple(
                     [new_top]
-                    + [int(counts.get(new_top - i, 0)) for i in range(horizon)]
+                    + [int(counts.get(new_top - i, 0)) for i in range(horizon + 1)]
                 )
             )
             yield pd.DataFrame(

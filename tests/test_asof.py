@@ -421,6 +421,17 @@ def test_asof_join_multi_composite_key(spark):
     got = {r.event_id: r.label for r in out.collect()}
     assert got == {1: 100.0, 2: 300.0, 3: 200.0, 4: None}
     assert {"user", "device"} <= set(out.columns)
+    # the plan-of-record path shuffles on the raw struct fields — no
+    # per-row json serialization in the exchange key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "to_json" not in plan
+    # every strategy agrees on the composite key
+    for strat in ("cogroup", "bucketed"):
+        alt = asof_join_multi(
+            left, right, on=["user", "device"], direction="backward",
+            strategy=strat, bucket_seconds=20,
+        )
+        assert {r.event_id: r.label for r in alt.collect()} == got, strat
     # pandas oracle over the same composite key
     lp = pd.DataFrame(left_rows, columns=["user", "device", "t", "event_id"])
     rp = pd.DataFrame(right_rows, columns=["user", "device", "t", "label"])

@@ -517,6 +517,16 @@ def test_ivf_index_at_rest_prunes_files_and_matches(spark, tmp_path):
     out_all, _, _ = SIM.ivf_topk_indexed(table, spark, qv, cents, k=10, nprobe=8)
     exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
     assert [r.vec_id for r in out_all.collect()] == exact
+    # probing only phantom centroids (no owned files) returns an EMPTY
+    # top-k with files_read=0 — not a spark.read.parquet([]) crash
+    dim = len(qv)
+    phantom = cents + [(99, [1e9] * dim)]  # cos(query, itself) = 1.0 wins
+    out_none, fr, ft = SIM.ivf_topk_indexed(
+        table, spark, [1e9] * dim, phantom, k=10, nprobe=1
+    )
+    assert fr == 0 and ft == files_total
+    assert out_none.count() == 0
+    assert [f.name for f in out_none.schema.fields] == ["vec_id", "cos"]
 
 
 def test_ivfpq_encode_and_search(spark):

@@ -242,3 +242,32 @@ def test_stream_to_table_exactly_once(spark, table, tmp_path):
     # a plain (non-streaming) append doesn't lose the epoch chain
     table.append(_range_df(spark, 1000, 1010))
     assert last_committed_epoch(table) == last + 1
+
+
+def test_stream_to_table_second_run_not_skipped(spark, table, tmp_path):
+    """Regression: a SECOND ingestion run into the same table (new
+    checkpoint -> Spark restarts epoch ids at 0) must not be dropped as
+    a 'replay' of the first run's epochs — the guard is (run_id, epoch),
+    not bare epoch."""
+    from go_html_transform_spark.sources.manifest_table import stream_to_table
+
+    def run(lo, ckpt):
+        df = _range_df(spark, lo, lo + 50)
+        src = str(tmp_path / f"src{lo}")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = stream_to_table(stream, table, checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run(0, "ckpt_a")
+    run(100, "ckpt_b")  # fresh checkpoint: epochs restart at 0
+    got = sorted(r.event_id for r in table.scan(spark).collect())
+    assert got == list(range(0, 50)) + list(range(100, 150))
+    # and with NO checkpoint at all (fresh uuid run_id) it still commits
+    df = _range_df(spark, 200, 220)
+    src = str(tmp_path / "src200")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = stream_to_table(stream, table)
+    q.awaitTermination()
+    assert table.scan(spark).count() == 120

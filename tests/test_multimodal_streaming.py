@@ -402,6 +402,47 @@ def test_streaming_decayed_counts_cross_batch_parity(spark, tmp_path):
     assert got_map == want_map
 
 
+def test_streaming_decayed_counts_same_bucket_continuation(spark, tmp_path):
+    """Regression: an event whose bucket CONTINUES into the next
+    micro-batch still needs the count at ``top - horizon`` (weight-1
+    term). With horizon=4 and buckets [0, 4] in batch 1 then another
+    bucket-4 event in batch 2, the batch-2 event's feature is
+    counts[0] << 0 == 1 — state must persist ``horizon + 1`` counts,
+    not ``horizon`` (which silently dropped bucket 0 and yielded 0)."""
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    schema = "doc_id string, event_id long, event_time timestamp"
+    b1 = spark.createDataFrame(
+        [("a", 1, ts(100)), ("a", 2, ts(4 * 1800 + 100))], schema
+    )
+    b2 = spark.createDataFrame([("a", 3, ts(4 * 1800 + 200))], schema)
+    src = str(tmp_path / "cont")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    # name files so lexicographic discovery order == batch order
+    import glob
+    import os
+
+    files = sorted(glob.glob(src + "/part-*.parquet"), key=os.path.getmtime)
+    for i, f in enumerate(files):
+        os.rename(f, os.path.join(src, f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_decayed_counts(stream, bucket_seconds=1800, horizon=4)
+    got = ST.run_available_now(out, "stream_decayed_cont", output_mode="append")
+    got_map = {r.event_id: r["decayed_1800s_fp"] for r in got.collect()}
+    # event 1 (bucket 0, first): 0; event 2 (bucket 4): counts[0]<<0 = 1
+    # event 3 (bucket 4, next batch): same window as event 2 = 1
+    assert got_map == {1: 0, 2: 1, 3: 1}
+
+
 def test_extract_frames_plumbing(spark, media):
     """Frame extraction: codec-gated; fake mode emits one deterministic
     feature row per sampled frame, frames exploded inside the worker."""

@@ -20,6 +20,9 @@ ROWS = [
     (6, None),
     # url swallows the embedded email; ip inside url also swallowed
     (7, "see https://u:p@h.com/10.0.0.1/x and then mail u:p@h.com"),
+    # URL must stop at ANY whitespace (newline/tab), not just space —
+    # regression for the `[^ ]+` pattern that ate following lines
+    (8, "link https://a.b/c\nnext line stays 1.2.3.4\tafter-tab"),
 ]
 
 
@@ -52,6 +55,8 @@ def test_planted_pii_redaction(spark):
     # ordering contract: URL first, so the url-embedded email/IP are
     # gone; the bare `u:p@h.com` still yields an email match (`p@h.com`)
     assert got[7] == ("see <URL> and then mail u:<EMAIL>", 2)
+    # redaction is line-local: text after \n and \t survives
+    assert got[8] == ("link <URL>\nnext line stays <IP>\tafter-tab", 2)
 
 
 def test_oracle_twin_parity(spark, duck):

@@ -286,6 +286,28 @@ def test_value_quantiles_exact_order_statistics(spark):
     } == {7}
 
 
+def test_quantile_threshold_exact_past_2pow53(spark):
+    """The ceil threshold must be INTEGER division: with n ~ 1.2e10 rows,
+    q_ppm*n + 999999 > 2^53, where a double `/` rounds the quotient down
+    by 1 for adversarial (q, n). Evaluates the exact expression used by
+    value_quantiles against python bigint math on hazard points."""
+    cases = []
+    for n in (9_007_199_254, 12_345_678_901, 10**12):
+        for q in (1, 333_333, 500_000, 900_001, 999_999, 1_000_000):
+            cases.append((q, n))
+    df = spark.createDataFrame(cases, "q_ppm long, n long")
+    got = df.select(
+        "q_ppm",
+        "n",
+        F.expr("(CAST(q_ppm AS BIGINT) * n + 999999) div 1000000").alias(
+            "thr"
+        ),
+    ).collect()
+    for r in got:
+        want = (r.q_ppm * r.n + 999_999) // 1_000_000
+        assert r.thr == want, (r.q_ppm, r.n, r.thr, want)
+
+
 def test_value_quantiles_histogram_plan(spark):
     """The corpus-side plan: ONE hashpartitioning exchange (the histogram
     partial agg); the cumsum window only ever sees |domain| rows."""
