@@ -59,6 +59,10 @@ def main() -> None:
         # separate hardware CPU-time inflation from real scheduling loss.
         "spark.ui.enabled": "true",
     }
+    # Sweep hook: SPARK_GRAFT_EXTRA_CONF='{"spark.x":"y", ...}' merges
+    # arbitrary conf (GC flags, off-heap, compression) into the session —
+    # the config-sweep harness drives 8-vs-32 pairs through this.
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
     spark = get_spark(
         app_name=f"bench-{cpus}",
         cores=cpus,
@@ -111,8 +115,28 @@ def main() -> None:
     lab.count()
 
     timings: dict[str, float] = {}
+    stage_tasks: dict[str, dict[str, float]] = {}
+    n_iters = int(os.environ.get("SPARK_GRAFT_ITERS", "3"))
 
     jvm = spark.sparkContext._jvm
+
+    def proc_stat() -> tuple[float, float]:
+        """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+        line — the delta over the bench window is the box's own evidence
+        of hypervisor steal during THIS run."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [float(x) for x in parts]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)
+            steal = vals[7] if len(vals) > 7 else 0.0
+            return sum(vals) - idle, steal
+        except Exception:
+            return 0.0, 0.0
+
+    env_t0 = time.time()
+    busy0, steal0 = proc_stat()
+    load_start = os.getloadavg()
 
     def completed_stages() -> list[dict]:
         """Stage-level task metrics from the UI REST API (executorRunTime
@@ -134,8 +158,10 @@ def main() -> None:
             return []
 
     def timed(name: str, fn) -> None:
+        pre = {s["stageId"] for s in completed_stages()}
         best = None
-        for _ in range(3):  # min-of-3: drops codegen/JIT warmup noise
+        iters = []
+        for _ in range(n_iters):  # min-of-N: drops codegen/JIT warmup noise
             # JMH-style forced GC between iterations: deferred cleanup debt
             # (shuffle-file cleaner, dead cache blocks) from the previous
             # iteration otherwise lands in this one's wall time — measured
@@ -145,8 +171,20 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
+            iters.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # per-stage task metrics: run-vs-cpu over THIS stage's iterations
+        # makes a round-over-round wall-time delta self-diagnosing (ambient
+        # steal inflates run≫cpu; a real regression moves cpu too)
+        post = [s for s in completed_stages() if s["stageId"] not in pre]
+        stage_tasks[name] = {
+            "iters_sec": iters,
+            "task_run_ms": round(sum(s.get("executorRunTime", 0) for s in post), 1),
+            "task_cpu_ms": round(
+                sum(s.get("executorCpuTime", 0) for s in post) / 1e6, 1
+            ),
+        }
 
     # stage 1: selector-rule token transform (scan -> match -> rewrite)
     tr = (
@@ -202,7 +240,7 @@ def main() -> None:
         # parquet" inversion. Alternating exposes both to the same
         # environment; min still drops warmup/GC-debt outliers.
         best_c, best_f = None, None
-        for _ in range(3):
+        for _ in range(n_iters):
             jvm.System.gc()
             time.sleep(1)
             t0 = time.perf_counter()
@@ -225,6 +263,24 @@ def main() -> None:
     task_run_ms = sum(s.get("executorRunTime", 0) for s in new_stages)
     task_cpu_ms = sum(s.get("executorCpuTime", 0) for s in new_stages) / 1e6
 
+    def env_block() -> dict:
+        """Ambient-load snapshot over the bench window: makes round-over-
+        round stage deltas interpretable without re-litigating the VM."""
+        busy1, steal1 = proc_stat()
+        d_busy, d_steal = busy1 - busy0, steal1 - steal0
+        return {
+            "load_start": [round(x, 2) for x in load_start],
+            "load_end": [round(x, 2) for x in os.getloadavg()],
+            "wall_sec": round(time.time() - env_t0, 1),
+            "steal_pct_of_busy": round(
+                100.0 * d_steal / max(1.0, d_busy + d_steal), 2
+            ),
+            "host_cpus": os.cpu_count(),
+            "extra_conf": sorted(extra.items()),
+            "iters": n_iters,
+            "replicate": rep,
+        }
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "end-to-end pipeline seconds (rule transform + as-of join + windowed features + sink) over pre-tokenized sequences",
@@ -243,6 +299,8 @@ def main() -> None:
         # from scheduling loss)
         "full_task_run_ms": round(task_run_ms, 1),
         "full_task_cpu_ms": round(task_cpu_ms, 1),
+        "stage_tasks": stage_tasks,
+        "env": env_block(),
     }
     print(json.dumps(result))
     spark.stop()

@@ -786,3 +786,246 @@ def ivfpq_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained codebooks: k-means++ seeding + distributed Lloyd for IVF and PQ
+# ---------------------------------------------------------------------------
+# The seeded codebooks above stay as the DuckDB-oracle anchors (an oracle
+# needs a closed-form codebook); the trained paths below are what a user
+# points at a real corpus — recall governed by k-means++ + Lloyd instead
+# of arbitrary low-id seeds. Quality is pinned by recall/objective
+# assertions (tests + tools/eval_ann.py), not an SQL twin.
+
+
+def _sample_vectors(
+    emb: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic bounded driver sample: the n smallest xxhash64(id)
+    rows (hash order is layout- and partitioning-independent, and
+    orderBy+limit compiles to TakeOrdered — per-partition top-n + a
+    driver merge, never a global sort). n*dim doubles on the driver:
+    2048 x 64 = ~1 MB regardless of corpus size."""
+    import numpy as np
+
+    rows = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(n)
+        .collect()
+    )
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _kmeanspp(X, k: int, seed: int = 13):
+    """Classic k-means++ D^2 seeding (Arthur & Vassilvitskii 2007) on a
+    driver-side sample — numpy, deterministic via the seed."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    if n <= k:
+        reps = np.tile(X, (k // max(1, n) + 1, 1))
+        return reps[:k].copy()
+    first = int(rng.randint(n))
+    chosen = [first]
+    d2 = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0:
+            nxt = int(rng.randint(n))
+        else:
+            nxt = int(rng.choice(n, p=d2 / tot))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    return X[chosen].copy()
+
+
+def ivf_trained_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    sample_n: int = 2048,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """TRAINED coarse codebook: k-means++ on a deterministic sample of
+    row-normalized vectors (L2 k-means++ on the unit sphere == spherical/
+    cosine seeding — ivf_assign's cosine argmax is scale-invariant), then
+    ``iters`` exact distributed Lloyd passes over the FULL corpus
+    (lloyd_refine: one k*dim int64 partial-sum exchange per pass).
+
+    Drop-in for ivf_centroids everywhere a codebook is consumed
+    (ivf_assign/ivf_topk/ivf_write_index/ivfpq_*)."""
+    import numpy as np
+
+    X = _sample_vectors(emb, sample_n, id_col, vec_col)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.divide(X, norms, out=np.zeros_like(X), where=norms > 0)
+    seeds = _kmeanspp(Xn, k, seed)
+    cents = [(i, [float(x) for x in seeds[i]]) for i in range(k)]
+    for _ in range(iters):
+        cents = lloyd_refine(emb, cents, id_col=id_col, vec_col=vec_col)
+    return cents
+
+
+def pq_lloyd_refine(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """One exact Lloyd iteration over ALL PQ subspaces in a single
+    distributed pass: encode with the current books (pq_encode — zero
+    shuffle), explode each row into m narrow (subspace, code, subvector)
+    records, then ONE map-side-combined aggregation keyed on
+    (subspace, code) — m*ksub groups of ds fixed-point int64 sums, a
+    driver-sized result independent of corpus size. Empty codes keep
+    their previous centroid (the lloyd_refine convention)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0][1])
+    enc = pq_encode(emb, codebooks, vec_col=vec_col, codes_col="__codes")
+    fx = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * LLOYD_SCALE).cast("long"),
+    )
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.element_at("__codes", j + 1).alias("code"),
+                F.slice(F.col("__fx"), j * ds + 1, ds).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    rows = (
+        enc.withColumn("__fx", fx)
+        .select(F.explode(sub_structs).alias("e"))
+        .select(
+            "e.j",
+            "e.code",
+            *[F.element_at("e.sv", i + 1).alias(f"x{i}") for i in range(ds)],
+        )
+        .groupBy("j", "code")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"x{i}").alias(f"s{i}") for i in range(ds)],
+        )
+        .collect()
+    )
+    means = {
+        (int(r["j"]), int(r["code"])): [
+            r[f"s{i}"] / (r["n"] * float(LLOYD_SCALE)) for i in range(ds)
+        ]
+        for r in rows
+    }
+    return [
+        [(code, means.get((j, code), cv)) for code, cv in codebooks[j]]
+        for j in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    sample_n: int = 2048,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """TRAINED per-subspace PQ codebooks: k-means++ seeds each subspace
+    on the deterministic sample (raw L2 — PQ quantizes raw subvectors),
+    then ``iters`` pq_lloyd_refine passes over the full corpus. Drop-in
+    for pq_codebooks in pq_encode/pq_adc_topk."""
+    X = _sample_vectors(emb, sample_n, id_col, vec_col)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    books = []
+    for j in range(m):
+        seeds = _kmeanspp(X[:, j * ds : (j + 1) * ds], ksub, seed + j)
+        books.append(
+            [(c, [float(x) for x in seeds[c]]) for c in range(ksub)]
+        )
+    for _ in range(iters):
+        books = pq_lloyd_refine(emb, books, vec_col=vec_col)
+    return books
+
+
+def ivfpq_encode_trained(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    sample_n: int = 2048,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, list[list[tuple[int, list[float]]]]]":
+    """ivfpq_encode with TRAINED residual codebooks: the PQ books are
+    k-means++ + Lloyd over the residuals (v - assigned centroid) — the
+    faiss IVFPQ training recipe — instead of low-id seeds. Same zero-
+    shuffle encode; searchable with the unchanged ivfpq_topk."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    res = _residual(
+        F.col(vec_col).cast("array<double>"), centroids, F.col("centroid_id")
+    )
+    with_res = assigned.withColumn("__res", res)
+    books = pq_train_codebooks(
+        with_res, m, ksub, iters, sample_n, seed, id_col, "__res"
+    )
+    enc = pq_encode(with_res, books, vec_col="__res")
+    return enc.drop("__res"), books
+
+
+def pq_distortion(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean total squared quantization error (sum over subspaces of
+    l2sq(subvector, chosen code)) — the k-means objective PQ training
+    minimizes; lets tests assert trained <= seeded without an oracle.
+    One partial-agg'd mean, no shuffle of payloads."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0][1])
+    v = F.col(vec_col).cast("array<double>")
+    total = F.lit(0.0)
+    for j in range(m):
+        sub = F.slice(v, j * ds + 1, ds)
+        scored = F.array(
+            *[
+                F.struct(
+                    _l2sq(sub, _lit_vec(cv)).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cv in codebooks[j]
+            ]
+        )
+        total = total + F.array_min(scored)["d"]
+    return float(emb.select(F.avg(total)).first()[0])
+
+
+def ivf_objective(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine of every vector to its assigned centroid — the
+    spherical k-means objective (higher is better)."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.array(*[cosine(v, _lit_vec(cv)) for _, cv in centroids])
+    )
+    return float(emb.select(F.avg(best)).first()[0])

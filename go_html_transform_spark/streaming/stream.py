@@ -266,6 +266,113 @@ def streaming_asof_enrich(
     )
 
 
+def streaming_asof_enrich_stateful(
+    seq_stream: DataFrame,
+    label_stream: DataFrame,
+    key_col: str = "doc_id",
+    time_col: str = "event_time",
+    label_time_col: str = "obs_time",
+    label_value_col: str = "label_value",
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """State-store as-of enrich — the fallback for when the label side
+    outgrows :func:`streaming_asof_enrich`'s broadcast ceiling. Both
+    sides arrive as STREAMS (a static label table is a bounded stream:
+    ``spark.readStream.parquet(...)`` + availableNow) tagged and
+    unioned, grouped by entity, with ``applyInPandasWithState`` carrying
+    the as-of state across micro-batches.
+
+    The key insight that keeps state CONSTANT (2 scalars per entity, not
+    a timeline): under the per-entity in-order arrival contract (the
+    streaming_decayed_counts discipline), a backward-inclusive as-of
+    only ever needs the LATEST label seen so far — rows inside a batch
+    are sorted by (t, tag) with labels before events at equal t
+    (inclusive semantics), the label value is forward-filled, and the
+    carried state is just (last_label_t, last_label_v). Duplicate labels
+    at the same (entity, t) resolve to max(value) — the batch engine's
+    `_dedupe_right` tie-break — both inside a batch (sort puts max last)
+    and across batches (explicit max on equal t).
+
+    Events with no label yet emit NULL, matching the batch left join.
+    Scale shape: ONE shuffle of the unioned stream on the entity key;
+    state-store size = 2 scalars x live entities, evictable via the
+    processing-time timeout."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = seq_stream.select(
+        F.col(key_col),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col(time_col).cast("timestamp").alias("__ts"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    labs = label_stream.select(
+        F.col(key_col),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col(label_time_col).cast("timestamp").alias("__ts"),
+        F.unix_micros(F.col(label_time_col).cast("timestamp")).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.col(label_value_col).cast("double").alias("__v"),
+    )
+    unioned = events.unionByName(labs)
+    out_schema = (
+        f"{key_col} string, event_id long, {time_col} timestamp, "
+        f"{label_value_col} double"
+    )
+    state_schema = "t long, v double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (ent,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_t, last_v = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                ["__t", "__tag", "__v", "event_id"],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            is_lab = batch["__tag"] == 0
+            filled = batch["__v"].where(is_lab).ffill()
+            if last_v is not None:
+                filled = filled.fillna(last_v)
+            ev = batch["__tag"] == 1
+            if ev.any():
+                yield pd.DataFrame(
+                    {
+                        key_col: ent,
+                        "event_id": batch.loc[ev, "event_id"],
+                        time_col: batch.loc[ev, "__ts"],
+                        label_value_col: filled[ev],
+                    }
+                )
+            if is_lab.any():
+                lrows = batch[is_lab]
+                new_t = int(lrows["__t"].iloc[-1])
+                new_v = float(lrows["__v"].iloc[-1])
+                if last_t is not None and int(last_t) == new_t:
+                    new_v = max(new_v, float(last_v))
+                state.update((new_t, new_v))
+            elif last_t is not None:
+                state.update((int(last_t), float(last_v)))
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60_000)
+
+    return unioned.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def streaming_dedup(
     seq_stream: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id", "event_id"),

@@ -578,3 +578,66 @@ def test_ivfpq_encode_and_search(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
+def test_trained_ivf_centroids_deterministic_and_better(spark):
+    """k-means++ + Lloyd coarse codebook: bit-identical across
+    partitionings (fixed-point sums + deterministic sample), and the
+    spherical k-means objective (mean cos to assigned centroid) beats
+    the low-id-seeded codebook it replaces."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = SIM.ivf_trained_centroids(emb, k=8, iters=2)
+    b = SIM.ivf_trained_centroids(emb.repartition(7), k=8, iters=2)
+    assert a == b
+    assert [cid for cid, _ in a] == list(range(8))
+    seeded = SIM.ivf_centroids(emb, k=8)
+    obj_seed = SIM.ivf_objective(emb, seeded)
+    obj_train = SIM.ivf_objective(emb, a)
+    assert obj_train >= obj_seed, (obj_train, obj_seed)
+
+
+def test_trained_pq_codebooks_lower_distortion(spark):
+    """Per-subspace k-means++ + Lloyd PQ books: deterministic across
+    partitionings and strictly-no-worse quantization MSE than the
+    low-id-seeded books (the k-means objective Lloyd minimizes)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t1 = SIM.pq_train_codebooks(emb, iters=2)
+    t2 = SIM.pq_train_codebooks(emb.repartition(5), iters=2)
+    assert t1 == t2
+    seeded = SIM.pq_codebooks(emb)
+    d_seed = SIM.pq_distortion(emb, seeded)
+    d_train = SIM.pq_distortion(emb, t1)
+    assert d_train <= d_seed, (d_train, d_seed)
+    # one more Lloyd pass never increases the objective
+    t3 = SIM.pq_lloyd_refine(emb, t1)
+    assert SIM.pq_distortion(emb, t3) <= d_train + 1e-9
+
+
+def test_trained_ivfpq_exact_under_full_rerank(spark):
+    """Trained residual books: encode stays in-range, and all-probe +
+    full-rerank search through the trained index reproduces brute force
+    exactly (the rescore is exact regardless of codebook quality) —
+    while a tight budget keeps recall respectable."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cents = SIM.ivf_trained_centroids(emb, k=8, iters=1)
+    encoded, books = SIM.ivfpq_encode_trained(emb, cents, iters=1)
+    enc = encoded.select("vec_id", "centroid_id", "pq_code").collect()
+    assert all(0 <= r.pq_code < SIM.PQ_KSUB ** SIM.PQ_M for r in enc)
+    assert all(0 <= r.centroid_id < 8 for r in enc)
+    qv = list(emb.filter("vec_id = 3").first().embedding)
+    exact = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    got = [
+        r.vec_id
+        for r in SIM.ivfpq_topk(
+            encoded, books, cents, qv, k=10, nprobe=8, rerank=n
+        ).collect()
+    ]
+    assert got == exact
+    budget = [
+        r.vec_id
+        for r in SIM.ivfpq_topk(
+            encoded, books, cents, qv, k=10, nprobe=3, rerank=60
+        ).collect()
+    ]
+    assert len(set(budget) & set(exact)) >= 4
