@@ -48,6 +48,23 @@ CONFIGS: dict[str, dict] = {
 }
 
 
+def wait_quiet(max_wait: int = 1200, load_thresh: float = 1.5) -> None:
+    """Block until the box's 1-min load (excluding us — nothing of ours
+    runs between levels) drops under ``load_thresh``. The shared VM's
+    ambient tenants produce load spikes of 10-25 that poison a level;
+    starting into one wastes the whole pair."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        load1 = os.getloadavg()[0]
+        if load1 < load_thresh:
+            return
+        time.sleep(20)
+    print(f"# wait_quiet: still loaded after {max_wait}s, proceeding",
+          flush=True)
+
+
 def run(cpus: int, spec: dict, iters: int, replicate: int) -> dict:
     env = dict(
         os.environ,
@@ -57,40 +74,72 @@ def run(cpus: int, spec: dict, iters: int, replicate: int) -> dict:
         SPARK_GRAFT_EXTRA_CONF=json.dumps(spec.get("conf", {})),
         **spec.get("env", {}),
     )
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-         os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+
+    def once() -> dict:
+        wait_quiet()
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+             os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.strip().splitlines() if l.startswith("{")
+        ][-1]
+        return json.loads(line)
+
+    # retry a level whose window got contaminated (hypervisor steal or an
+    # ambient tenant) — keep the cleanest attempt
+    attempts = []
+    for i in range(int(os.environ.get("SWEEP_RETRIES", "2")) + 1):
+        r = once()
+        e = r["env"]
+        # clean window: negligible hypervisor steal AND the end-of-run
+        # load is explainable by our own threads (ambient tenants show
+        # up as load far above the level's core count)
+        ambient = max(0.0, e["load_end"][0] - cpus)
+        clean = e["steal_pct_of_busy"] < 3.0 and ambient < cpus * 0.5 + 2
+        attempts.append((e["steal_pct_of_busy"] + ambient, r))
+        print(
+            f"# level {cpus}: attempt {i} steal={e['steal_pct_of_busy']} "
+            f"load_end={e['load_end'][0]} full={r['queries']['full_pipeline']}",
+            flush=True,
+        )
+        if clean:
+            return r
+    return min(attempts, key=lambda t: t[0])[1]
 
 
 def main() -> None:
     names = sys.argv[1:] or list(CONFIGS)
     iters = int(os.environ.get("SWEEP_ITERS", "2"))
     replicate = int(os.environ.get("SWEEP_REPLICATE", "100"))
+    lo, hi = (
+        int(x) for x in os.environ.get("SWEEP_PAIR", "8,32").split(",")
+    )
     out_path = os.path.join(REPO, "BENCH", "sweep.jsonl")
     for name in names:
         spec = CONFIGS[name]
-        r8 = run(8, spec, iters, replicate)
-        r32 = run(32, spec, iters, replicate)
+        r8 = run(lo, spec, iters, replicate)
+        r32 = run(hi, spec, iters, replicate)
         effs = {
             k: round(r8["queries"][k] / (4 * r32["queries"][k]), 3)
             for k in r8["queries"]
         }
         rec = {
             "config": name,
+            "pair": f"{lo}v{hi}",
+            "replicate": replicate,
+            "iters": iters,
             "eff": effs,
-            "t8": r8["queries"],
-            "t32": r32["queries"],
+            "t_lo": r8["queries"],
+            "t_hi": r32["queries"],
             "cpu_inflation_full": round(
                 r32["full_task_cpu_ms"] / max(1, r8["full_task_cpu_ms"]), 2
             ),
-            "steal8": r8["env"]["steal_pct_of_busy"],
-            "steal32": r32["env"]["steal_pct_of_busy"],
-            "load8": r8["env"]["load_start"],
-            "load32": r32["env"]["load_start"],
+            "steal_lo": r8["env"]["steal_pct_of_busy"],
+            "steal_hi": r32["env"]["steal_pct_of_busy"],
+            "load_lo": r8["env"]["load_start"],
+            "load_hi": r32["env"]["load_start"],
         }
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
