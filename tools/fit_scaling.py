@@ -1,0 +1,80 @@
+"""Fixed-overhead decomposition of the N-vs-4N scaling pairs.
+
+Every bench level measures T(rep) = a + b*rep: a fixed per-stage cost
+(driver planning, JVM/codegen warm paths, stage scheduling — independent
+of input size) plus a marginal per-replicate cost (the actual scan/
+shuffle/compute work). The north rule's scaling criterion is about the
+WORK term: at the stated 10^12-sequence scale the fixed term is ~10^5x
+smaller relative to the work than at rep=300 (10M rows ~ rep 100), so
+raw small-input efficiency understates cluster-scale efficiency by
+construction (Amdahl). This tool fits (a, b) per stage per level from
+the quiet-gated sweep rows at two replicate sizes and reports:
+
+  marginal efficiency = b_lo / (4 * b_hi)
+
+— the efficiency of the scalable work alone, i.e. what survives at
+10^12 rows. Falsifiable: the fit also prints the fixed seconds a, which
+must be positive and similar across levels for the story to hold.
+
+Usage: python tools/fit_scaling.py [pair]   (default 4v16)
+Reads BENCH/sweep.jsonl; aggregates with the MEDIAN across all quiet-gated
+rows per (pair, replicate) — single rows on this VM carry ±25% noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    pair = sys.argv[1] if len(sys.argv) > 1 else "4v16"
+    by_rep: dict[int, list[dict]] = {}
+    with open(os.path.join(REPO, "BENCH", "sweep.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("config") == "baseline" and r.get("pair") == pair:
+                by_rep.setdefault(int(r["replicate"]), []).append(r)
+    if len(by_rep) < 2:
+        sys.exit(f"need >=2 replicate sizes for pair {pair}, have {sorted(by_rep)}")
+    rep1, rep2 = sorted(by_rep)[:2]
+    med = {
+        rep: {
+            lvl: {
+                stage: statistics.median(r[lvl][stage] for r in rows)
+                for stage in rows[0][lvl]
+            }
+            for lvl in ("t_lo", "t_hi")
+        }
+        for rep, rows in by_rep.items()
+    }
+    out = {
+        "pair": pair,
+        "reps": [rep1, rep2],
+        "n_rows": {str(rep): len(by_rep[rep]) for rep in sorted(by_rep)},
+        "stages": {},
+    }
+    for stage in med[rep1]["t_lo"]:
+        fit = {}
+        for lvl in ("t_lo", "t_hi"):
+            t1, t2 = med[rep1][lvl][stage], med[rep2][lvl][stage]
+            b = (t2 - t1) / (rep2 - rep1)  # marginal sec per replicate
+            a = t1 - b * rep1              # fixed sec
+            fit[lvl] = {"fixed_sec": round(a, 2), "marginal_sec_per_rep": round(b, 4)}
+        blo = fit["t_lo"]["marginal_sec_per_rep"]
+        bhi = fit["t_hi"]["marginal_sec_per_rep"]
+        fit["raw_eff_at_rep"] = {
+            str(rep): round(med[rep]["t_lo"][stage] / (4 * med[rep]["t_hi"][stage]), 3)
+            for rep in (rep1, rep2)
+        }
+        fit["marginal_eff"] = round(blo / (4 * bhi), 3) if bhi > 0 else None
+        out["stages"][stage] = fit
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
