@@ -423,3 +423,186 @@ def asof_join_multi(
     r2 = right.withColumn(key, pack).drop(*on)
     out = asof_join(l2, r2, key, left_time, right_time, **kwargs)
     return out.drop(key)
+
+
+def asof_join_many(
+    left: DataFrame,
+    rights: dict[str, DataFrame],
+    on: str = "doc_id",
+    left_time: str = "event_time",
+    right_time: str = "obs_time",
+    direction: str = "backward",
+    tolerances: dict[str, float] | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Point-in-time enrichment from MANY feature/label tables in ONE
+    exchange + ONE sort (two sorts for ``nearest``) — the feature-store
+    primitive behind the north rule's "point-in-time feature layer":
+    every event picks up the as-of value from each of k right tables.
+
+    Chaining ``asof_join`` k times costs k shuffles + k sorts, each over
+    a frame that keeps widening as matched columns accumulate. This
+    single-pass form tags every right table with its own payload struct,
+    unions ALL sides once, and computes one ``last(__p_i, ignorenulls)``
+    (resp. ``first``) per table over the SAME window sort — cost profile
+    of ONE as-of join regardless of k. At 10^12 left rows the difference
+    is k-1 full-data shuffles.
+
+    Why one total sort order suffices for k tables: within an equal
+    (key, time) tie group the sort is lexicographic over
+    (tag, __p_0, __p_1, ...); a row carries exactly ONE non-null payload,
+    so each table's rows form a contiguous block internally ordered by
+    ITS payload, and ``last/first(ignorenulls)`` skips every other
+    block's nulls — duplicate (key, time) rows inside each table resolve
+    to the row-lexicographic max payload, identical to ``asof_join``'s
+    determinism rule, with zero pre-dedup shuffle.
+
+    ``rights`` maps a name to a right DataFrame with columns
+    (``on``, ``right_time``, value columns...); each value column comes
+    back as ``{name}_{col}`` (null where no match within direction /
+    that table's ``tolerances[name]`` seconds).
+    """
+    if direction not in DIRECTIONS:
+        raise ValueError(f"direction must be one of {DIRECTIONS}")
+    if not rights:
+        raise ValueError("rights must name at least one table")
+    tolerances = tolerances or {}
+    unknown = set(tolerances) - set(rights)
+    if unknown:
+        raise ValueError(f"tolerances for unknown tables: {sorted(unknown)}")
+    names = list(rights)
+    out_names: list[tuple[str, str, str]] = []  # (payload_col, value_col, out_col)
+    taken = set(left.columns)
+    for name in names:
+        r = rights[name]
+        for c in r.columns:
+            if c in (on, right_time):
+                continue
+            out_col = f"{name}_{c}"
+            if out_col in taken:
+                raise ValueError(f"output column collision: {out_col}")
+            taken.add(out_col)
+            out_names.append((f"__p_{name}", c, out_col))
+
+    left_fields = [f for f in left.schema.fields if f.name != on]
+
+    def _payload(name: str) -> tuple[str, F.Column, T.DataType]:
+        r = rights[name]
+        vcols = [c for c in r.columns if c not in (on, right_time)]
+        p = F.struct(F.col(right_time).alias("__rt"), *[F.col(c) for c in vcols])
+        ptype = r.select(p.alias("x")).schema["x"].dataType
+        return f"__p_{name}", p, ptype
+
+    payload_types = {}
+    sides = []
+    for name in names:
+        pcol, p, ptype = _payload(name)
+        payload_types[pcol] = ptype
+    for name in names:
+        pcol_self, p_self, _ = _payload(name)
+        sides.append(
+            rights[name].select(
+                F.col(on),
+                F.col(right_time).alias("__time"),
+                *[
+                    (p_self if pc == pcol_self else F.lit(None).cast(pt)).alias(pc)
+                    for pc, pt in payload_types.items()
+                ],
+                F.lit(True).alias("__is_r"),
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in left_fields],
+            )
+        )
+    sides.append(
+        left.select(
+            F.col(on),
+            F.col(left_time).alias("__time"),
+            *[F.lit(None).cast(pt).alias(pc) for pc, pt in payload_types.items()],
+            F.lit(False).alias("__is_r"),
+            *[F.col(f.name) for f in left_fields],
+        )
+    )
+    u = sides[0]
+    for s in sides[1:]:
+        u = u.unionByName(s)
+
+    t = F.col("__time").cast("timestamp").cast("double")
+    pcols = list(payload_types)
+    matched_b: dict[str, F.Column] = {}
+    matched_f: dict[str, F.Column] = {}
+    if direction in ("backward", "nearest"):
+        r_order = (
+            F.col("__is_r").desc() if allow_exact_matches else F.col("__is_r").asc()
+        )
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(
+                F.col("__time").asc(), r_order, *[F.col(pc).asc() for pc in pcols]
+            )
+            .rowsBetween(
+                Window.unboundedPreceding, 0 if allow_exact_matches else -1
+            )
+        )
+        for pc in pcols:
+            matched_b[pc] = F.last(pc, ignorenulls=True).over(wb)
+    if direction in ("forward", "nearest"):
+        r_order = (
+            F.col("__is_r").asc() if allow_exact_matches else F.col("__is_r").desc()
+        )
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(
+                F.col("__time").asc(), r_order, *[F.col(pc).desc() for pc in pcols]
+            )
+            .rowsBetween(
+                0 if allow_exact_matches else 1, Window.unboundedFollowing
+            )
+        )
+        for pc in pcols:
+            matched_f[pc] = F.first(pc, ignorenulls=True).over(wf)
+
+    sel_matched = []
+    for pc in pcols:
+        if direction in ("backward", "nearest"):
+            sel_matched.append(matched_b[pc].alias(f"__b_{pc}"))
+        if direction in ("forward", "nearest"):
+            sel_matched.append(matched_f[pc].alias(f"__f_{pc}"))
+    u = u.select("*", *sel_matched)
+    out = u.filter(~F.col("__is_r"))
+
+    name_of = {f"__p_{n}": n for n in names}
+
+    def _within_tol(name: str, p: F.Column, signed_delta: F.Column) -> F.Column:
+        tol = tolerances.get(name)
+        if tol is None:
+            return p
+        return F.when(signed_delta <= F.lit(float(tol)), p)
+
+    rt_of = lambda p: p["__rt"].cast("timestamp").cast("double")  # noqa: E731
+    chosen: dict[str, F.Column] = {}
+    for pc in pcols:
+        name = name_of[pc]
+        if direction == "backward":
+            b = F.col(f"__b_{pc}")
+            chosen[pc] = _within_tol(name, b, t - rt_of(b))
+        elif direction == "forward":
+            f_ = F.col(f"__f_{pc}")
+            chosen[pc] = _within_tol(name, f_, rt_of(f_) - t)
+        else:
+            b = _within_tol(name, F.col(f"__b_{pc}"), t - rt_of(F.col(f"__b_{pc}")))
+            f_ = _within_tol(name, F.col(f"__f_{pc}"), rt_of(F.col(f"__f_{pc}")) - t)
+            b_d = t - rt_of(b)
+            f_d = rt_of(f_) - t
+            chosen[pc] = (
+                F.when(b.isNull(), f_)
+                .when(f_.isNull(), b)
+                .when(b_d <= f_d, b)
+                .otherwise(f_)
+            )
+
+    sel = [
+        F.col("__time").alias(left_time) if c == left_time else F.col(c)
+        for c in left.columns
+    ]
+    return out.select(
+        *sel, *[chosen[pc][vc].alias(oc) for pc, vc, oc in out_names]
+    )

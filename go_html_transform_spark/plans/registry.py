@@ -694,10 +694,24 @@ def _tagged(df: DataFrame, variant: str) -> DataFrame:
         fwd AS (SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
                 FROM seq s ASOF LEFT JOIN labd l
                   ON s.doc_id = l.doc_id AND s.event_time <= l.obs_time),
-        {_ASOF_NEAREST_CTES}
+        {_ASOF_NEAREST_CTES},
+        labhi AS (SELECT doc_id, obs_time, MAX(label_value) AS label_value
+                  FROM lab WHERE label_value >= 50.0
+                  GROUP BY doc_id, obs_time),
+        manyl AS (SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+                  FROM seq s ASOF LEFT JOIN labd l
+                    ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time),
+        manyh AS (SELECT s.event_id,
+                         ROUND(CASE WHEN epoch_us(s.event_time) - epoch_us(l.obs_time)
+                                    <= CAST(3600 AS BIGINT) * 1000000
+                               THEN l.label_value END, 4) AS label_value
+                  FROM seq s ASOF LEFT JOIN labhi l
+                    ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time)
         SELECT 'backward' AS variant, * FROM bwd
         UNION ALL SELECT 'forward' AS variant, * FROM fwd
         UNION ALL SELECT 'nearest' AS variant, * FROM nst
+        UNION ALL SELECT 'many_lab' AS variant, * FROM manyl
+        UNION ALL SELECT 'many_hi_tol3600' AS variant, * FROM manyh
         """
     ),
 )
@@ -711,7 +725,34 @@ def asof_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     * forward — earliest label at or after (label side, future-reading)
     * nearest — closer of the two; equidistant ties prefer backward
       (pandas semantics, pinned by test)
+    * many_lab / many_hi_tol3600 — ONE ``asof_join_many`` pass enriching
+      each event from TWO tables (all labels; labels >= 50 with a 3600 s
+      per-table tolerance) in a single exchange + sort: the feature-store
+      multi-table point-in-time layer, each output column hash-checked
+      against an independent DuckDB ASOF JOIN
     """
+    from go_html_transform_spark.operators.asof import asof_join_many
+
+    seq = S.sequences(spark, sf_dir).select(
+        "doc_id", "event_time", "event_id", "n_tok"
+    )
+    lab = S.labels(spark, sf_dir)
+    many = asof_join_many(
+        seq,
+        {"lab": lab, "hi": lab.filter(F.col("label_value") >= 50.0)},
+        direction="backward",
+        tolerances={"hi": 3600.0},
+    )
+    many_lab = many.select(
+        F.lit("many_lab").alias("variant"),
+        "event_id",
+        F.round("lab_label_value", 4).alias("label_value"),
+    )
+    many_hi = many.select(
+        F.lit("many_hi_tol3600").alias("variant"),
+        "event_id",
+        F.round("hi_label_value", 4).alias("label_value"),
+    )
     return (
         _tagged(_asof_spark(spark, sf_dir, "backward", strategy="union"), "backward")
         .unionByName(
@@ -720,6 +761,8 @@ def asof_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             _tagged(_asof_spark(spark, sf_dir, "nearest", strategy="union"), "nearest")
         )
+        .unionByName(many_lab)
+        .unionByName(many_hi)
     )
 
 

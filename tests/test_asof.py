@@ -444,3 +444,106 @@ def test_asof_join_multi_composite_key(spark):
         for r in m.itertuples()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# asof_join_many — k right tables in one exchange + one sort
+
+
+def _mk_many_fixture(seed=7):
+    """Two right tables over the shared entity space: r1 numeric labels
+    (with duplicate (key, time) rows), r2 string tags with entities the
+    left has never seen and vice versa."""
+    left, r1 = _mk_fixture(seed=seed)
+    rng = random.Random(seed + 1)
+    r2 = []
+    for i in range(0, 12, 2):  # only even entities present in r2
+        d = f"d{i:03d}"
+        t = rng.randrange(-1800, 1800)
+        for _ in range(4):
+            t += rng.randrange(300, 14400)
+            r2.append((d, BASE + dt.timedelta(seconds=t), f"tag{t % 5}"))
+    # duplicate (key, time) in r2 too: max-payload winner must match chain
+    if r2:
+        d0, t0, _ = r2[0]
+        r2.append((d0, t0, "zzz"))
+        r2.append((d0, t0, "aaa"))
+    return left, r1, r2
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_many_matches_chained_single_joins(spark, direction, allow_exact):
+    """One-pass k-table enrichment == k chained asof_join calls, across
+    every direction x exactness, with a per-table tolerance on r2 only
+    and duplicate (key, time) rows in BOTH right tables."""
+    from pyspark.sql import functions as F
+
+    from go_html_transform_spark.operators.asof import asof_join_many
+
+    left, r1, r2 = _mk_many_fixture()
+    l = spark.createDataFrame(left, "doc_id string, event_time timestamp, lval double")
+    d1 = spark.createDataFrame(r1, "doc_id string, obs_time timestamp, label_value double")
+    d2 = spark.createDataFrame(r2, "doc_id string, obs_time timestamp, tag string")
+
+    many = asof_join_many(
+        l,
+        {"lab": d1, "tg": d2},
+        direction=direction,
+        allow_exact_matches=allow_exact,
+        tolerances={"tg": 3600.0},
+    )
+    c1 = asof_join(l, d1, direction=direction, allow_exact_matches=allow_exact)
+    c2 = asof_join(
+        c1, d2, direction=direction, allow_exact_matches=allow_exact, tolerance=3600.0
+    )
+    chain = c2.select(
+        "doc_id", "event_time", "lval",
+        F.col("label_value").alias("lab_label_value"),
+        F.col("tag").alias("tg_tag"),
+    )
+    key = lambda r: (r.doc_id, r.event_time)  # noqa: E731
+    got = {key(r): (r.lab_label_value, r.tg_tag) for r in many.collect()}
+    want = {key(r): (r.lab_label_value, r.tg_tag) for r in chain.collect()}
+    assert got == want
+
+
+def test_asof_many_single_exchange_plan(spark):
+    """The whole k-table enrichment must cost ONE hash exchange on the
+    entity key (the chained form costs k); backward/forward stay a
+    single sort, and no payload ever crosses into Python."""
+    from go_html_transform_spark.operators.asof import asof_join_many
+
+    left, r1, r2 = _mk_many_fixture()
+    l = spark.createDataFrame(left, "doc_id string, event_time timestamp, lval double")
+    d1 = spark.createDataFrame(r1, "doc_id string, obs_time timestamp, label_value double")
+    d2 = spark.createDataFrame(r2, "doc_id string, obs_time timestamp, tag string")
+
+    many = asof_join_many(l, {"lab": d1, "tg": d2})
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    chain = asof_join(asof_join(l, d1), d2, )
+    chain_plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert chain_plan.count("Exchange hashpartitioning") == 2
+
+
+def test_asof_many_arg_validation(spark):
+    from go_html_transform_spark.operators.asof import asof_join_many
+
+    l = spark.createDataFrame(
+        [("a", BASE, 1.0)], "doc_id string, event_time timestamp, lval double"
+    )
+    r = spark.createDataFrame(
+        [("a", BASE, 2.0)], "doc_id string, obs_time timestamp, lval double"
+    )
+    with pytest.raises(ValueError, match="at least one table"):
+        asof_join_many(l, {})
+    with pytest.raises(ValueError, match="unknown tables"):
+        asof_join_many(l, {"x": r}, tolerances={"y": 1.0})
+    # r's value column is 'lval' under name 'x' -> output col 'x_lval' is
+    # fine; but a right named so the prefixed col hits a left col must fail
+    l2 = l.withColumnRenamed("lval", "x_lval")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_many(l2, {"x": r})
