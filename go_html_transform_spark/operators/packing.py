@@ -200,3 +200,91 @@ def pack_contexts(
         toks.alias("tokens"),
         spans.alias("spans"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    window: int = 512,
+    stride: int | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Sliding-window document chunking — the per-document complement of
+    ``pack_assign``/``pack_chunks``: instead of concatenating documents
+    into fixed contexts, each LONG document is cut into windows of
+    ``window`` tokens starting every ``stride`` tokens (overlap =
+    window - stride when stride < window, the standard long-document
+    training / retrieval-passage split).
+
+    One row per chunk: all input columns plus ``chunk_idx`` (0-based),
+    ``chunk_begin`` (token offset), ``chunk_tokens``, ``chunk_n_tok``.
+    Chunk starts are the multiples of ``stride`` below ``n_tok``; a
+    trailing chunk shorter than ``min_len`` is dropped unless it is the
+    document's ONLY chunk (empty documents produce no chunks).
+
+    Scale shape: pure row-local explode + slice — zero shuffle, fan-out
+    ceil(n_tok/stride) per document, whole-stage codegen (F.sequence /
+    F.slice, no HOF lambda capture, no Python).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    stride = window if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    for c in ("chunk_idx", "chunk_begin", "chunk_tokens", "chunk_n_tok"):
+        if c in df.columns:
+            raise ValueError(f"output column collision: {c}")
+    n = F.col(n_tok_col).cast("long")
+    last = F.floor((n - 1) / F.lit(stride))
+    idxs = F.when(n > 0, F.sequence(F.lit(0).cast("long"), last)).otherwise(
+        F.array().cast("array<long>")
+    )
+    ex = df.withColumn("chunk_idx", F.explode(idxs))
+    begin = F.col("chunk_idx") * stride
+    chunk = F.slice(F.col(tokens_col), (begin + 1).cast("int"), window)
+    out = (
+        ex.withColumn("chunk_begin", begin)
+        .withColumn("chunk_tokens", chunk)
+        .withColumn("chunk_n_tok", F.size(chunk))
+    )
+    if min_len > 1:
+        out = out.filter(
+            (F.col("chunk_idx") == 0) | (F.col("chunk_n_tok") >= min_len)
+        )
+    return out
+
+
+def chunk_documents_sql(
+    src: str,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    window: int = 512,
+    stride: int | None = None,
+    min_len: int = 1,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (unnest(range(...)) explode +
+    1-based inclusive list slice)."""
+    stride = window if stride is None else stride
+    inner = f"""
+        SELECT *,
+               unnest(range(0, CAST(FLOOR(({n_tok_col} - 1) / {stride})
+                                    AS BIGINT) + 1)) AS chunk_idx
+        FROM {src}
+        WHERE {n_tok_col} > 0
+    """
+    body = f"""
+        SELECT *,
+               chunk_idx * {stride} AS chunk_begin,
+               {tokens_col}[CAST(chunk_idx * {stride} + 1 AS BIGINT) :
+                            CAST(LEAST(chunk_idx * {stride} + {window},
+                                       {n_tok_col}) AS BIGINT)]
+                 AS chunk_tokens
+        FROM ({inner})
+    """
+    if min_len > 1:
+        return f"""
+        SELECT * FROM ({body})
+        WHERE chunk_idx = 0 OR len(chunk_tokens) >= {min_len}
+        """
+    return body

@@ -17,6 +17,7 @@ from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.functions import tokenize as TK
 from go_html_transform_spark.operators import boilerplate as BP
 from go_html_transform_spark.operators import dedup as D
+from go_html_transform_spark.operators import packing as PK
 from go_html_transform_spark.operators import sampling as SAM
 from go_html_transform_spark.operators import sharding as SH
 from go_html_transform_spark.operators import sketches as SK
@@ -555,6 +556,11 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ntok_q_by_src', CAST(grp[4:] AS INTEGER),
                CAST(q_ppm AS INTEGER), value
         FROM ({SK.value_quantiles_by_sql('seq', 'source')})
+        UNION ALL
+        SELECT 'chunk', CAST(doc_id[2:] AS INTEGER),
+               CAST(chunk_idx AS INTEGER),
+               {TX.fingerprint_sql('chunk_tokens')}
+        FROM ({PK.chunk_documents_sql('doc', window=32, stride=24, min_len=4)})
         """
     ),
 )
@@ -600,6 +606,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       statistics, one broadcast CASE assignment; k1 = numeric doc id,
       k2 = bucket (0=head most-typical, 1=middle, 2=tail),
       cnt = the exact scaled LM metric
+    * chunk — sliding-window document chunking
+      (packing.chunk_documents, window=32 stride=24 min_len=4): one row
+      per surviving chunk, k1 = numeric doc id, k2 = chunk_idx,
+      cnt = rolling-hash fingerprint of the chunk's token slice — pins
+      boundaries, order and content of every chunk. Row-local
+      explode+slice: zero shuffle, no Python
     * ntok_q_by_src — per-source exact p50/p90 of n_tok
       (sketches.value_quantiles_by): the histogram machinery partitioned
       by group — cumsum windows never see more than one group's |domain|;
@@ -690,6 +702,14 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_ppm").cast("int").alias("k2"),
         F.col("value").alias("cnt"),
     )
+    chunk = PK.chunk_documents(
+        doc.select("doc_id", "tokens", "n_tok"), window=32, stride=24, min_len=4
+    ).select(
+        F.lit("chunk").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("chunk_idx").cast("int").alias("k2"),
+        TX.fingerprint(F.col("chunk_tokens")).alias("cnt"),
+    )
     lm_bkt = SK.lm_perplexity_buckets(doc).select(
         F.lit("lm_bucket").alias("variant"),
         F.substring("doc_id", 2, 16).cast("int").alias("k1"),
@@ -708,4 +728,5 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quant)
         .unionByName(lm_bkt)
         .unionByName(qby)
+        .unionByName(chunk)
     )

@@ -409,3 +409,91 @@ def test_assign_split_disjoint_exhaustive_stable(spark):
         f" FROM k"
     ).fetchall())
     assert a == ora
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (packing.chunk_documents)
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(tokens, window, stride, min_len=1):
+    n = len(tokens)
+    out = []
+    for i, b in enumerate(range(0, max(n, 1), stride)):
+        if b >= n:
+            break
+        c = tokens[b : b + window]
+        if i > 0 and len(c) < min_len:
+            continue
+        out.append((i, b, c))
+    return out
+
+
+def test_chunk_documents_tiling_covers_exactly(spark, corpus):
+    """stride == window: chunks tile the document — concatenating them
+    in chunk_idx order reproduces the token array; empty docs vanish."""
+    out = PK.chunk_documents(corpus, window=7).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    src = {r.id: r.tokens for r in corpus.collect()}
+    for i, toks in src.items():
+        if not toks:
+            assert i not in by_doc
+            continue
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert [r.chunk_begin for r in rows] == [7 * k for k in range(len(rows))]
+        cat = [t for r in rows for t in r.chunk_tokens]
+        assert cat == toks
+        assert all(r.chunk_n_tok == len(r.chunk_tokens) for r in rows)
+
+
+@pytest.mark.parametrize("window,stride,min_len", [(8, 5, 1), (8, 5, 4), (4, 4, 2), (6, 9, 1)])
+def test_chunk_documents_matches_python(spark, corpus, window, stride, min_len):
+    """Overlap, gap (stride > window) and short-tail-drop semantics all
+    match the plain-python reference; chunk 0 always survives min_len."""
+    out = PK.chunk_documents(
+        corpus, window=window, stride=stride, min_len=min_len
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id, []).append((r.chunk_idx, r.chunk_begin, list(r.chunk_tokens)))
+    src = {r.id: list(r.tokens) for r in corpus.collect()}
+    for i, toks in src.items():
+        want = _py_chunks(toks, window, stride, min_len)
+        assert sorted(got.get(i, [])) == [(a, b, c) for a, b, c in want], i
+
+
+def test_chunk_documents_duckdb_parity(spark, corpus, duck):
+    eng = PK.chunk_documents(corpus, window=8, stride=5, min_len=4).select(
+        "id", "chunk_idx", "chunk_begin", "chunk_tokens"
+    )
+    ora = duck.sql(
+        "SELECT id, chunk_idx, chunk_begin, chunk_tokens FROM ("
+        + PK.chunk_documents_sql("corpus", window=8, stride=5, min_len=4)
+        + ") ORDER BY id, chunk_idx"
+    )
+    got = eng.toPandas().sort_values(["id", "chunk_idx"]).reset_index(drop=True)
+    want = ora.df().sort_values(["id", "chunk_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a = [str(list(x)) if hasattr(x, "__len__") and not isinstance(x, str) else str(x) for x in got[c]]
+        b = [str(list(x)) if hasattr(x, "__len__") and not isinstance(x, str) else str(x) for x in want[c]]
+        assert a == b, c
+
+
+def test_chunk_documents_no_shuffle_no_python(spark, corpus):
+    out = PK.chunk_documents(corpus, window=8, stride=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_chunk_documents_arg_validation(spark, corpus):
+    with pytest.raises(ValueError, match="window"):
+        PK.chunk_documents(corpus, window=0)
+    with pytest.raises(ValueError, match="stride"):
+        PK.chunk_documents(corpus, window=4, stride=0)
+    with pytest.raises(ValueError, match="collision"):
+        PK.chunk_documents(corpus.withColumn("chunk_idx", F.lit(1)), window=4)

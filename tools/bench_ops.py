@@ -257,6 +257,36 @@ def main() -> None:
         resample_ffill(obs, ["value"], step_seconds=3600, partition_by="doc_id")
     ))
 
+    # --- multi-table point-in-time enrichment: one-pass asof_join_many vs
+    # the chained k-join form (k exchanges + k sorts over a widening frame)
+    from go_html_transform_spark.operators.asof import asof_join, asof_join_many
+
+    def _feat(event_type: str):
+        return ev_big.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias("doc_id"),
+            (F.col("t_us") / 1e6).cast("timestamp").alias("obs_time"),
+            F.col("value").alias("v"),
+        )
+
+    asof_left = ev_big.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("doc_id"),
+        (F.col("t_us") / 1e6).cast("timestamp").alias("event_time"),
+        "value",
+    )
+    feats3 = {"click": _feat("click"), "view": _feat("view"),
+              "signup": _feat("signup")}
+    timed("asof_many_3t", n_ev_big, lambda: drain(
+        asof_join_many(asof_left, feats3)
+    ))
+
+    def _chained():
+        out = asof_left
+        for name, f_ in feats3.items():
+            out = asof_join(out, f_).withColumnRenamed("v", f"{name}_v")
+        drain(out)
+
+    timed("asof_chain_3t", n_ev_big, _chained)
+
     from go_html_transform_spark.operators.window import (
         decayed_bucket_counts,
         ewma,
