@@ -134,6 +134,22 @@ def main() -> None:
             ),
         ),
         (
+            "multi-table point-in-time enrichment (asof_join_many, 2 right tables)",
+            "MUST: exactly ONE Exchange hashpartitioning(doc_id) + ONE Sort "
+            "for ALL right tables together (the chained form pays one "
+            "exchange+sort PER table); no Python operators.",
+            __import__(
+                "go_html_transform_spark.operators.asof", fromlist=["asof_join_many"]
+            ).asof_join_many(
+                seq.select("doc_id", "event_time", "event_id", "n_tok"),
+                {
+                    "lab": lab,
+                    "hi": lab.filter(F.col("label_value") >= 50.0)
+                    .withColumnRenamed("label_value", "v"),
+                },
+            ),
+        ),
+        (
             "windowed feature bundle after as-of",
             "MUST: the Window nodes REUSE the as-of exchange's partitioning "
             "— at most 2 hashpartitioning exchanges in the whole combined "
