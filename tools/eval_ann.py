@@ -81,6 +81,15 @@ def main() -> None:
         "ivfpq_trained_3probe_r60": lambda qv: SIM.ivfpq_topk(
             ivfpq_tr_enc, ivfpq_tr_books, cents_train, qv, k=k, nprobe=3, rerank=60
         ),
+        # rerank sweep: recall recovered per extra exact-rescored vector —
+        # approaches the 3-probe coverage ceiling (the IVF row's recall at
+        # the same probes) as rerank grows
+        "ivfpq_trained_3probe_r120": lambda qv: SIM.ivfpq_topk(
+            ivfpq_tr_enc, ivfpq_tr_books, cents_train, qv, k=k, nprobe=3, rerank=120
+        ),
+        "ivfpq_trained_3probe_r240": lambda qv: SIM.ivfpq_topk(
+            ivfpq_tr_enc, ivfpq_tr_books, cents_train, qv, k=k, nprobe=3, rerank=240
+        ),
     }
     # MEASURED scanned fraction per path/query — the nominal nprobe/k
     # fraction lies when clusters are imbalanced (the low-id-seeded
@@ -145,6 +154,8 @@ def main() -> None:
         "pq_trained_adc_r50": lambda qv: 50 / max(1, n),
         "ivfpq_seedbooks_3probe_r60": lambda qv: 60 / max(1, n),
         "ivfpq_trained_3probe_r60": lambda qv: 60 / max(1, n),
+        "ivfpq_trained_3probe_r120": lambda qv: 120 / max(1, n),
+        "ivfpq_trained_3probe_r240": lambda qv: 240 / max(1, n),
     }
 
     def ids(df):
