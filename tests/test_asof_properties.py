@@ -126,3 +126,62 @@ def test_asof_matches_pandas_oracle(spark, lrows, rrows, direction, tolerance, s
                 assert gv is None, (strategy, k, gv, ev)
             else:
                 assert gv == ev, (strategy, k, gv, ev)
+
+
+# ---------------------------------------------------------------------------
+# asof_join_many: the one-pass k-table form must agree with k independent
+# single-table joins (each already pinned to pandas above) on every
+# generated case — including per-table tolerances and duplicate
+# (key, time) rows in both right tables.
+
+from go_html_transform_spark.operators.asof import asof_join_many  # noqa: E402
+
+
+@settings(
+    max_examples=int(os.environ.get("GHTS_DEEP_FUZZ", "10")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lrows=left_rows,
+    r1rows=right_rows,
+    r2rows=right_rows,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol1=st.sampled_from([None, 30.0]),
+    strict=st.booleans(),
+)
+def test_asof_many_matches_chained(spark, lrows, r1rows, r2rows, direction, tol1, strict):
+    if strict and direction == "nearest":
+        strict = False
+    aem = not strict
+
+    left = spark.createDataFrame(
+        [(e, _ts(s), i) for i, (e, s) in enumerate(lrows)],
+        "doc_id string, event_time timestamp, event_id long",
+    )
+
+    def mk_right(rows):
+        return spark.createDataFrame(
+            [(e, _ts(s), float(v)) for e, s, v in rows],
+            "doc_id string, obs_time timestamp, v double",
+        ) if rows else spark.createDataFrame(
+            [], "doc_id string, obs_time timestamp, v double"
+        )
+
+    r1, r2 = mk_right(r1rows), mk_right(r2rows)
+    tolerances = {"t1": tol1} if tol1 is not None else {}
+    many = asof_join_many(
+        left, {"t1": r1, "t2": r2}, direction=direction,
+        tolerances=tolerances, allow_exact_matches=aem,
+    )
+    from pyspark.sql import functions as F
+    c1 = asof_join(
+        left, r1, direction=direction, tolerance=tol1, allow_exact_matches=aem
+    ).select("event_id", F.col("v").alias("t1_v"))
+    c2 = asof_join(
+        left, r2, direction=direction, allow_exact_matches=aem
+    ).select("event_id", F.col("v").alias("t2_v"))
+    got = {r.event_id: (r.t1_v, r.t2_v) for r in many.collect()}
+    want1 = {r.event_id: r.t1_v for r in c1.collect()}
+    want2 = {r.event_id: r.t2_v for r in c2.collect()}
+    assert got == {i: (want1[i], want2[i]) for i in want1}

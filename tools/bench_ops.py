@@ -353,7 +353,14 @@ def main() -> None:
         "~4.2M candidate pairs from 5k docs (every candidate is verified "
         "with true Jaccard) — a real web corpus yields orders of magnitude "
         "fewer candidates per doc; the number to read is verified pairs/s, "
-        "not docs/s.",
+        "not docs/s. `asof_many_3t` vs `asof_chain_3t`: the one-pass "
+        "3-table enrichment shuffles+sorts 8M union rows ONCE where the "
+        "chain does three exchange+sort rounds over 12M total rows with a "
+        "widening payload — near-equal wall HERE because this box's "
+        "shuffle is tmpfs memcpy (compression off, no network); on a real "
+        "cluster shuffle bytes over the network are the cost, and the "
+        "plan-audited 1-vs-k exchange count (BENCH/PLANS.md) is the "
+        "number that scales.",
         "",
         "| operator | input rows | sec | rows/sec |",
         "|---|---|---|---|",
