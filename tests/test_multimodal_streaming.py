@@ -689,3 +689,52 @@ def test_streaming_ewma_cross_batch_parity(spark, tmp_path):
             assert g is None or math.isnan(g), k
         else:
             assert g is not None and abs(g - w) < 1e-9, (k, g, w)
+
+
+def test_streaming_chunk_documents_matches_batch(spark, tmp_path):
+    """chunk_documents is a stateless row-local explode+slice, so it must
+    run unchanged on a streaming DataFrame and emit exactly the batch
+    chunks regardless of how the corpus is split across micro-batches."""
+    from go_html_transform_spark.operators.packing import chunk_documents
+
+    rows = [
+        (i, [j % 97 for j in range(i * 3 % 41)])
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], "id long, tokens array<int>, n_tok int"
+    )
+    src = str(tmp_path / "chunk_src")
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        base.filter((F.col("id") >= lo) & (F.col("id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = chunk_documents(stream, window=8, stride=5, min_len=3).select(
+        "id", "chunk_idx", "chunk_begin", "chunk_tokens"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id, r.chunk_idx): (r.chunk_begin, list(r.chunk_tokens))
+        for r in spark.table("chunk_stream").collect()
+    }
+    want = {
+        (r.id, r.chunk_idx): (r.chunk_begin, list(r.chunk_tokens))
+        for r in chunk_documents(base, window=8, stride=5, min_len=3)
+        .select("id", "chunk_idx", "chunk_begin", "chunk_tokens")
+        .collect()
+    }
+    assert got == want and len(want) > 60
