@@ -373,6 +373,126 @@ def streaming_asof_enrich_stateful(
     )
 
 
+def streaming_asof_enrich_many_stateful(
+    seq_stream: DataFrame,
+    label_streams: dict[str, DataFrame],
+    key_col: str = "doc_id",
+    time_col: str = "event_time",
+    label_time_col: str = "obs_time",
+    label_value_col: str = "label_value",
+    idle_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """The streaming twin of ``operators.asof.asof_join_many``: enrich an
+    event stream point-in-time from k label STREAMS in one stateful
+    operator — ONE shuffle of the tagged union on the entity key, state =
+    2k scalars (last_label_t_i, last_label_v_i) per live entity, one
+    output column ``{name}_{label_value_col}`` per table.
+
+    Same contracts as :func:`streaming_asof_enrich_stateful` (per-entity
+    in-order arrival across micro-batches; backward-inclusive; duplicate
+    same-(entity, t) labels resolve to max value, matching the batch
+    engine's tie-break), applied independently per table: within a batch
+    rows sort by (t, tag, v) and each table's forward-fill only reads its
+    own rows, so one total order serves all k tables — the same argument
+    that lets the batch ``asof_join_many`` share one window sort.
+
+    All label streams must expose (``key_col``, ``label_time_col``,
+    ``label_value_col``) with a double value column.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not label_streams:
+        raise ValueError("label_streams must name at least one stream")
+    names = list(label_streams)
+
+    events = seq_stream.select(
+        F.col(key_col),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col(time_col).cast("timestamp").alias("__ts"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(-1).alias("__src"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    unioned = events
+    for i, name in enumerate(names):
+        unioned = unioned.unionByName(
+            label_streams[name].select(
+                F.col(key_col),
+                F.lit(None).cast("long").alias("event_id"),
+                F.col(label_time_col).cast("timestamp").alias("__ts"),
+                F.unix_micros(F.col(label_time_col).cast("timestamp")).alias(
+                    "__t"
+                ),
+                F.lit(0).alias("__tag"),
+                F.lit(i).alias("__src"),
+                F.col(label_value_col).cast("double").alias("__v"),
+            )
+        )
+    out_cols = [f"{n}_{label_value_col}" for n in names]
+    out_schema = (
+        f"{key_col} string, event_id long, {time_col} timestamp, "
+        + ", ".join(f"{c} double" for c in out_cols)
+    )
+    state_schema = ", ".join(
+        f"t{i} long, v{i} double" for i in range(len(names))
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    k = len(names)
+
+    def fn(key, pdfs, state: GroupState):
+        (ent,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st = list(state.get) if state.exists else [None] * (2 * k)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                ["__t", "__tag", "__v", "event_id"],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            ev = batch["__tag"] == 1
+            filled = {}
+            for i in range(k):
+                is_i = (batch["__tag"] == 0) & (batch["__src"] == i)
+                f_i = batch["__v"].where(is_i).ffill()
+                if st[2 * i + 1] is not None:
+                    f_i = f_i.fillna(st[2 * i + 1])
+                filled[i] = f_i
+                if is_i.any():
+                    lrows = batch[is_i]
+                    new_t = int(lrows["__t"].iloc[-1])
+                    new_v = float(lrows["__v"].iloc[-1])
+                    if st[2 * i] is not None and int(st[2 * i]) == new_t:
+                        new_v = max(new_v, float(st[2 * i + 1]))
+                    st[2 * i], st[2 * i + 1] = new_t, new_v
+            if ev.any():
+                out = {
+                    key_col: ent,
+                    "event_id": batch.loc[ev, "event_id"],
+                    time_col: batch.loc[ev, "__ts"],
+                }
+                for i, c in enumerate(out_cols):
+                    out[c] = filled[i][ev]
+                yield pd.DataFrame(out)
+            if any(x is not None for x in st):
+                state.update(tuple(st))
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60_000)
+
+    return unioned.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def streaming_dedup(
     seq_stream: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id", "event_id"),

@@ -738,3 +738,81 @@ def test_streaming_chunk_documents_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 60
+
+
+def test_streaming_asof_enrich_many_stateful_matches_batch(spark, tmp_path):
+    """k-table state-store as-of == batch asof_join_many across
+    time-sliced micro-batches: per-table state (2k scalars), same-t dup
+    labels (max wins), label==event ties (inclusive), entities missing
+    from one table (NULL for that column only)."""
+    import datetime as dt
+    import random
+
+    from go_html_transform_spark.operators.asof import asof_join_many
+
+    BASE = dt.datetime(2026, 1, 1)
+    rng = random.Random(11)
+    left = [
+        (f"d{i%7:03d}", i, BASE + dt.timedelta(seconds=rng.randrange(0, 50000)))
+        for i in range(240)
+    ]
+    r1 = [
+        (f"d{i%5:03d}", BASE + dt.timedelta(seconds=rng.randrange(0, 50000)),
+         round(rng.random(), 3))
+        for i in range(50)
+    ]
+    r2 = [
+        (f"d{i%4:03d}", BASE + dt.timedelta(seconds=rng.randrange(0, 50000)),
+         round(rng.random(), 3))
+        for i in range(40)
+    ]
+    r1.append((r1[0][0], r1[0][1], -1.0))     # dup (key, t): max wins
+    r2.append((left[0][0], left[0][2], 9.5))  # label==event tie: inclusive
+    l = spark.createDataFrame(
+        left, "doc_id string, event_id long, event_time timestamp"
+    )
+    d1 = spark.createDataFrame(
+        r1, "doc_id string, obs_time timestamp, label_value double"
+    )
+    d2 = spark.createDataFrame(
+        r2, "doc_id string, obs_time timestamp, label_value double"
+    )
+    want = {
+        x.event_id: (x.a_label_value, x.b_label_value)
+        for x in asof_join_many(l, {"a": d1, "b": d2}).collect()
+    }
+
+    cut = BASE + dt.timedelta(seconds=25000)
+    import glob
+    import os
+    srcs = {}
+    for tag, df, tcol in (("ev", l, "event_time"), ("a", d1, "obs_time"),
+                          ("b", d2, "obs_time")):
+        src = str(tmp_path / tag)
+        df.filter(F.col(tcol) <= F.lit(cut)).coalesce(1).write.mode(
+            "append").parquet(src)
+        df.filter(F.col(tcol) > F.lit(cut)).coalesce(1).write.mode(
+            "append").parquet(src)
+        files = sorted(glob.glob(src + "/part-*.parquet"), key=os.path.getmtime)
+        for i, f in enumerate(files):
+            os.rename(f, os.path.join(src, f"batch-{i}.parquet"))
+        srcs[tag] = src
+
+    def rd(tag, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcs[tag])
+        )
+
+    out = ST.streaming_asof_enrich_many_stateful(
+        rd("ev", l.schema), {"a": rd("a", d1.schema), "b": rd("b", d2.schema)}
+    )
+    assert out.isStreaming
+    got_df = ST.run_available_now(out, "asof_many_stateful", output_mode="append")
+    got = {
+        x.event_id: (x.a_label_value, x.b_label_value)
+        for x in got_df.collect()
+    }
+    assert len(got) == len(want) == 240
+    assert got == want
