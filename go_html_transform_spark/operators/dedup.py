@@ -616,3 +616,92 @@ def near_dedup_keep_canonical(
     return df.join(
         losers, df[id_col] == losers["__loser"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate stage (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, then compare pairs ONLY within a
+    cluster — semantically unrelated vectors never meet, so the global
+    O(n^2) cross-join of ``embedding_near_duplicates`` collapses to
+    sum_c |c|^2. Returns (cid, id_a, id_b, cos) for every within-cluster
+    pair with raw cosine >= threshold (id_a < id_b; cos rounded output-
+    only).
+
+    Scale shape: the assignment is the zero-shuffle ``ivf_assign`` map
+    pass; the only exchange is the self-equi-join keyed on centroid_id.
+    Per-cluster work is quadratic in cluster size, so k is the knob:
+    pick k ~ n/target_cluster_size (the paper runs k=50k over 5B docs)
+    and the Lloyd-trained codebook (``similarity.ivf_trained_centroids``)
+    keeps clusters balanced; a degenerate hot cluster is bounded by the
+    same salting machinery as any skewed equi-join. Seeded centroids stay
+    the DuckDB-oracle anchor (assignment reproducible cross-engine)."""
+    from go_html_transform_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, out_col="cid").select(
+        "cid", F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    a = assigned.select("cid", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    b = assigned.select(
+        F.col("cid").alias("cid_b"), F.col("__id").alias("id_b"), F.col("__v").alias("vb")
+    )
+    pairs = a.join(
+        b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.withColumn("__c", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__c") >= threshold)
+        .select("cid", "id_a", "id_b", F.round("__c", 6).alias("cos"))
+    )
+
+
+def semantic_dedup_keep(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-set: drop a vector iff a SMALLER-ID vector in its
+    cluster sits within the cosine threshold (greedy-by-id canonical
+    rule — deterministic, order-free, and exactly the anti-join of
+    ``semantic_dup_pairs``'s id_b side; the paper's keep-farthest-from-
+    centroid rule is one ORDER BY swap on the same machinery). Returns
+    the surviving rows with their cluster id and cosine-to-own-centroid
+    (the paper's ranking signal, rounded output-only).
+
+    The corpus frame is scanned once; the only exchanges are the
+    cluster-keyed pair join (bounded as in ``semantic_dup_pairs``) and a
+    broadcast-sized anti-join on the loser id set."""
+    from go_html_transform_spark.operators.similarity import _lit_vec, ivf_assign
+
+    losers = (
+        semantic_dup_pairs(emb, centroids, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias("__loser"))
+        .distinct()
+    )
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, out_col="cid")
+    cvec = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _ in centroids]),
+        F.array(*[_lit_vec(cv) for _, cv in centroids]),
+    )
+    kept = assigned.join(
+        losers, assigned[id_col] == losers["__loser"], "left_anti"
+    )
+    return kept.select(
+        F.col(id_col),
+        "cid",
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), cvec[F.col("cid")]), 6
+        ).alias("cos_centroid"),
+    )

@@ -247,6 +247,30 @@ _EMB_COS = """
        * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))
 """
 
+# seeded k=8 coarse assignment (same contract as sim_bucket_stats' CTE —
+# duplicated here because this module registers dedup_embedding_pairs first)
+_SEM_ASSIGN_CTE = f"""
+    semc AS (SELECT vec_id AS cid, embedding AS cvec
+             FROM embeddings WHERE vec_id < 8),
+    sema AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, semc.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_EMB_COS.format(a='e.embedding', b='semc.cvec')} DESC,
+                          semc.cid
+               ) AS rk
+        FROM embeddings e CROSS JOIN semc
+      ) WHERE rk = 1),
+    semp AS (
+      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+             {_EMB_COS.format(a='ea.embedding', b='eb.embedding')} AS c
+      FROM sema aa JOIN sema bb
+        ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      JOIN embeddings ea ON ea.vec_id = aa.vec_id
+      JOIN embeddings eb ON eb.vec_id = bb.vec_id)
+"""
+
 
 def _emb_lsh_bands_sql(n_planes: int = 6, tables: int = 2) -> str:
     from go_html_transform_spark.operators.similarity import lsh_bucket_sql
@@ -266,7 +290,8 @@ def _emb_lsh_bands_sql(n_planes: int = 6, tables: int = 2) -> str:
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM ebands a JOIN ebands b
           ON a.band = b.band AND a.vec_id < b.vec_id
-    )
+    ),
+    {_SEM_ASSIGN_CTE}
     SELECT 'brute' AS variant, id_a, id_b, ROUND(c, 6) AS cos FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_EMB_COS.format(a='a.embedding', b='b.embedding')} AS c
@@ -281,6 +306,17 @@ def _emb_lsh_bands_sql(n_planes: int = 6, tables: int = 2) -> str:
         JOIN embeddings ea ON ea.vec_id = ecand.id_a
         JOIN embeddings eb ON eb.vec_id = ecand.id_b
     ) WHERE c >= 0.4
+    UNION ALL
+    SELECT 'semdedup_pairs' AS variant, id_a, id_b, ROUND(c, 6) AS cos
+    FROM semp WHERE c >= 0.4
+    UNION ALL
+    SELECT 'semdedup_keep' AS variant, e.vec_id AS id_a,
+           CAST(sema.cid AS BIGINT) AS id_b,
+           ROUND({_EMB_COS.format(a='e.embedding', b='semc.cvec')}, 6) AS cos
+    FROM embeddings e
+    JOIN sema ON sema.vec_id = e.vec_id
+    JOIN semc ON semc.cid = sema.cid
+    WHERE e.vec_id NOT IN (SELECT id_b FROM semp WHERE c >= 0.4)
     """,
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,8 +332,17 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       construction — recall is the LSH trade; the oracle replicates the
       exact candidate set so the check is exact, not recall-fuzzy.
 
+    * semdedup_pairs / semdedup_keep — SemDeDup (Abbas et al. 2023):
+      seeded k=8 coarse assignment (zero-shuffle ``ivf_assign``), dup
+      pairs compared ONLY within a cluster (equi-join on centroid_id —
+      sum_c |c|^2 instead of n^2), keep-set = greedy-by-id anti-join with
+      cosine-to-own-centroid as the ranking signal. Seeded centroids are
+      the oracle anchor; production swaps in the Lloyd-trained codebook.
+
     Threshold on the RAW similarity; output rounded to 6 decimals for the
     cross-engine hash."""
+    from go_html_transform_spark.operators import similarity as SIM
+
     emb = S.load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )  # float math widened BEFORE multiply, matching the oracle's CASTs
@@ -307,7 +352,17 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = D.embedding_lsh_near_duplicates(
         emb, threshold=0.4, n_planes=6, tables=2
     ).select(F.lit("lsh_bucketed").alias("variant"), "id_a", "id_b", "cos")
-    return brute.unionByName(lsh)
+    cents = SIM.ivf_centroids(emb, k=8)
+    semp = D.semantic_dup_pairs(emb, cents, threshold=0.4).select(
+        F.lit("semdedup_pairs").alias("variant"), "id_a", "id_b", "cos"
+    )
+    semk = D.semantic_dedup_keep(emb, cents, threshold=0.4).select(
+        F.lit("semdedup_keep").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cid").cast("long").alias("id_b"),
+        F.col("cos_centroid").alias("cos"),
+    )
+    return brute.unionByName(lsh).unionByName(semp).unionByName(semk)
 
 
 # ---------------------------------------------------------------------------

@@ -641,3 +641,81 @@ def test_trained_ivfpq_exact_under_full_rerank(spark):
         ).collect()
     ]
     assert len(set(budget) & set(exact)) >= 4
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def _cos_py(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def test_semantic_dup_pairs_within_cluster_subset_of_brute(spark, vectors):
+    """SemDeDup pairs are exactly the brute-force pairs whose two members
+    share a cluster — no cross-cluster pair ever surfaces, scores agree
+    with the brute path on the pairs it keeps."""
+    cents = SIM.ivf_centroids(vectors, k=4)
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in SIM.ivf_assign(vectors, cents, id_col="vec_id").collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_near_duplicates(
+            vectors, id_col="vec_id", threshold=0.5
+        ).collect()
+    }
+    semp = {
+        (r.id_a, r.id_b): (r.cid, r.cos)
+        for r in D.semantic_dup_pairs(vectors, cents, threshold=0.5).collect()
+    }
+    expected = {p for p in brute if assign[p[0]] == assign[p[1]]}
+    assert set(semp) == expected
+    for (ia, ib), (cid, cos) in semp.items():
+        assert assign[ia] == assign[ib] == cid
+        assert cos == brute[(ia, ib)]
+
+
+def test_semantic_dedup_keep_matches_python_reference(spark, vectors):
+    """Keep rule (greedy-by-id): drop x iff a smaller-id vector in x's
+    cluster has cosine >= threshold. Full python re-derivation."""
+    tau = 0.5
+    cents = SIM.ivf_centroids(vectors, k=4)
+    rows = vectors.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: list(r.embedding) for r in rows}
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in SIM.ivf_assign(vectors, cents, id_col="vec_id").collect()
+    }
+    expected_keep = set()
+    for x in sorted(vecs):
+        dup = any(
+            y < x and assign[y] == assign[x] and _cos_py(vecs[x], vecs[y]) >= tau
+            for y in vecs
+        )
+        if not dup:
+            expected_keep.add(x)
+    got = {
+        r.vec_id: (r.cid, r.cos_centroid)
+        for r in D.semantic_dedup_keep(vectors, cents, threshold=tau).collect()
+    }
+    assert set(got) == expected_keep
+    cmap = dict(cents)
+    for vid, (cid, cosc) in got.items():
+        assert cid == assign[vid]
+        assert abs(cosc - _cos_py(vecs[vid], cmap[cid])) < 1e-6
+
+
+def test_semantic_dup_pairs_plan_is_equi_join(spark, vectors):
+    """The within-cluster pair join must be hash/sort-merge on the
+    cluster key — never a cartesian/nested-loop (that would be the
+    all-pairs scan SemDeDup exists to avoid)."""
+    cents = SIM.ivf_centroids(vectors, k=4)
+    plan = D.semantic_dup_pairs(vectors, cents, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
