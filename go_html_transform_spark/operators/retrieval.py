@@ -1,0 +1,225 @@
+"""BM25 lexical retrieval over an inverted-index shape: the query layer a
+training-data pipeline needs for benchmark decontamination lookups, seed
+expansion and corpus QA ("which documents match this probe set").
+
+Design for 10^12 documents:
+
+* the ONLY corpus-sized exchange is the postings aggregation, keyed on
+  (doc, token) — huge key space, partial-aggregated map-side.
+* the query set is tiny by definition (a probe list) — it broadcasts;
+  the document-frequency dimension is vocab-bounded — it broadcasts too.
+  After those joins the frame is |matched terms| rows, never corpus-wide.
+* per-query top-k is a window over candidates of that query only.
+
+Two scoring paths, same plan shape:
+
+* ``bm25_topk`` — textbook double-precision Okapi BM25 (Robertson idf
+  ``ln(1 + (N-df+0.5)/(df+0.5))``, k1/b length saturation). The
+  production path; float sums are order-sensitive so it is pinned by
+  python-reference parity tests, not the cross-engine hash.
+* ``bm25_int_topk`` — integer-exact quantized BM25 (k1=1.2, b=0.75
+  hard-wired as exact rationals): every division is int64 ``div`` on
+  ppm-scaled terms, so Spark and DuckDB produce bit-identical scores —
+  the DuckDB-oracle anchor. Quantization: idf is the RAW Robertson ratio
+  in ppm (log replaced by its argument, capped — same ranking for a
+  single-term query, compressed dynamic range for multi-term), tf
+  saturation is exact: tf_sat_ppm = 2.2*tf / (tf + 1.2*(0.25 +
+  0.75*dl/avgdl)) in ppm.
+
+Int64 headroom (documented bounds, asserted nowhere hot): idf_ppm is
+capped at 10^12 so idf_ppm * tf_sat_ppm <= 2.2e18 < 2^63; (N - df) *
+10^6 requires N < 9.2e12 docs; 750000 * dl * N requires dl * N <
+1.2e13 * avg... for larger corpora pre-divide T and N by a common power
+of ten (ranking is scale-invariant).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+IDF_PPM_CAP = 1_000_000_000_000  # raw-ratio idf cap: keeps products in int64
+
+
+def doc_postings(
+    doc: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(doc id, token, tf, dl) postings — the inverted-index fact.
+    One corpus exchange keyed on (doc, token), map-side partial count;
+    dl (document length) rides the groupBy key so no second doc join."""
+    return (
+        doc.select(
+            F.col(id_col).alias("__doc"),
+            F.size(F.col(tokens_col)).cast("long").alias("dl"),
+            F.explode(tokens_col).alias("token"),
+        )
+        .groupBy("__doc", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _queries_df(spark, queries: list[tuple[int, list[int]]]) -> DataFrame:
+    rows = [(int(q), int(t)) for q, toks in queries for t in toks]
+    return spark.createDataFrame(rows, "query_id int, token int")
+
+
+def bm25_topk(
+    doc: DataFrame,
+    queries: list[tuple[int, list[int]]],
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Okapi BM25 top-k per query (double precision, production path).
+    Returns (query_id, doc id, score, rank), rank 1..topk by
+    (score desc, doc asc)."""
+    spark = doc.sparkSession
+    post = doc_postings(doc, id_col, tokens_col)
+    stats = doc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size(tokens_col)).cast("long").alias("t"),
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["t"])
+    avgdl = total / n_docs
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
+    q = _queries_df(spark, queries)
+    cand = post.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        cand.withColumn("__term", idf * tf_sat)
+        .groupBy("query_id", "__doc")
+        .agg(F.sum("__term").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("__doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", F.col("__doc").alias(id_col), "score", "rank"
+        )
+    )
+
+
+def bm25_int_topk(
+    doc: DataFrame,
+    queries: list[tuple[int, list[int]]],
+    topk: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Integer-exact quantized BM25 (k1=1.2, b=0.75) — the cross-engine
+    oracle path; see module docstring for the quantization contract.
+    Returns (query_id, doc id, score_milli, rank)."""
+    spark = doc.sparkSession
+    post = doc_postings(doc, id_col, tokens_col)
+    stats = doc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size(tokens_col)).cast("long").alias("t"),
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["t"])
+    dfreq = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    q = _queries_df(spark, queries)
+    cand = post.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
+    scored = (
+        cand.select(
+            "query_id",
+            "__doc",
+            F.least(
+                F.expr(f"(({n_docs} - df) * 1000000) div (df + 1)"),
+                F.lit(IDF_PPM_CAP),
+            ).alias("idf_ppm"),
+            F.expr(f"250000 + (750000 * dl * {n_docs}) div {total}").alias("ln_ppm"),
+            "tf",
+        )
+        .select(
+            "query_id",
+            "__doc",
+            "idf_ppm",
+            F.expr("tf * 1000000 + (12 * ln_ppm) div 10").alias("den_ppm"),
+            "tf",
+        )
+        .select(
+            "query_id",
+            "__doc",
+            F.expr(
+                "(idf_ppm * ((tf * 2200000 * 1000000) div den_ppm))"
+                " div 1000000000"
+            ).alias("__term"),
+        )
+        .groupBy("query_id", "__doc")
+        .agg(F.sum("__term").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("__doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", F.col("__doc").alias(id_col), "score_milli", "rank"
+        )
+    )
+
+
+def bm25_int_sql(
+    queries: list[tuple[int, list[int]]],
+    topk: int = 10,
+    rel: str = "doc",
+    id_expr: str = "doc_id",
+    tokens: str = "tokens",
+) -> str:
+    """DuckDB twin of ``bm25_int_topk`` — identical int64 arithmetic
+    (DuckDB ``//`` == Spark ``div`` on the nonnegative domain)."""
+    qrows = ", ".join(f"({q}, {t})" for q, toks in queries for t in toks)
+    return f"""
+    SELECT query_id, {id_expr} AS bdoc, score_milli, rank FROM (
+      SELECT query_id, {id_expr}, score_milli,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_milli DESC, {id_expr}) AS rank
+      FROM (
+        SELECT query_id, {id_expr},
+               CAST(SUM((idf_ppm * ((tf * 2200000 * 1000000) // den_ppm))
+                        // 1000000000) AS BIGINT) AS score_milli
+        FROM (
+          SELECT p.query_id, p.{id_expr}, p.tf,
+                 LEAST(((s.n - d.df) * 1000000) // (d.df + 1),
+                       {IDF_PPM_CAP}) AS idf_ppm,
+                 p.tf * 1000000
+                   + (12 * (250000 + (750000 * p.dl * s.n) // s.t)) // 10
+                   AS den_ppm
+          FROM (
+            SELECT q.query_id, t.{id_expr}, t.dl, t.token,
+                   COUNT(*) AS tf
+            FROM (SELECT {id_expr},
+                         CAST(len({tokens}) AS BIGINT) AS dl,
+                         unnest({tokens}) AS token FROM {rel}) t
+            JOIN (VALUES {qrows}) AS q(query_id, token)
+              ON q.token = t.token
+            GROUP BY q.query_id, t.{id_expr}, t.dl, t.token
+          ) p
+          JOIN (
+            SELECT token, CAST(COUNT(DISTINCT {id_expr}) AS BIGINT) AS df
+            FROM (SELECT {id_expr}, unnest({tokens}) AS token FROM {rel})
+            GROUP BY token
+          ) d ON d.token = p.token
+          CROSS JOIN (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len({tokens})) AS BIGINT) AS t
+            FROM {rel}
+          ) s
+        )
+        GROUP BY query_id, {id_expr}
+      )
+    ) WHERE rank <= {topk}
+    """

@@ -18,7 +18,9 @@ from go_html_transform_spark.functions import tokenize as TK
 from go_html_transform_spark.operators import boilerplate as BP
 from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import packing as PK
+from go_html_transform_spark.operators import retrieval as R
 from go_html_transform_spark.operators import sampling as SAM
+from go_html_transform_spark.operators import selection as SEL
 from go_html_transform_spark.operators import sharding as SH
 from go_html_transform_spark.operators import sketches as SK
 from go_html_transform_spark.operators import spandedup as SP
@@ -509,6 +511,11 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# BM25 probe set: hot + mid-frequency tokens of the derived document
+# vocabulary (see functions/tokenize.py) — tiny by definition, broadcast
+_BM25_QUERIES = [(0, [982, 756, 310]), (1, [923, 819, 607, 147]), (2, [542, 35, 974])]
+
+
 @register(
     "corpus_token_stats",
     _cte(
@@ -561,6 +568,14 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(chunk_idx AS INTEGER),
                {TX.fingerprint_sql('chunk_tokens')}
         FROM ({PK.chunk_documents_sql('doc', window=32, stride=24, min_len=4)})
+        UNION ALL
+        SELECT 'bm25', CAST(bdoc[2:] AS INTEGER),
+               CAST(query_id AS INTEGER), score_milli
+        FROM ({R.bm25_int_sql(_BM25_QUERIES, topk=10, rel='doc')})
+        UNION ALL
+        SELECT 'dsir', CAST(ddoc[2:] AS INTEGER),
+               CAST(selected AS INTEGER), weight_milli
+        FROM ({SEL.dsir_weights_sql('doc')})
         """
     ),
 )
@@ -716,6 +731,20 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lm_bucket").cast("int").alias("k2"),
         F.col("lm_metric").alias("cnt"),
     )
+    bm25 = R.bm25_int_topk(
+        doc.select("doc_id", "tokens"), _BM25_QUERIES, topk=10
+    ).select(
+        F.lit("bm25").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("query_id").cast("int").alias("k2"),
+        F.col("score_milli").alias("cnt"),
+    )
+    dsir = SEL.dsir_weights(doc, F.col("lang") == "en").select(
+        F.lit("dsir").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("selected").cast("int").alias("k2"),
+        F.col("weight_milli").alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -729,4 +758,6 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm_bkt)
         .unionByName(qby)
         .unionByName(chunk)
+        .unionByName(bm25)
+        .unionByName(dsir)
     )

@@ -1,0 +1,181 @@
+"""BM25 retrieval + DSIR importance selection: python-reference parity,
+integer-path exactness, plan shapes (broadcast joins, no corpus sort)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_html_transform_spark.operators import retrieval as R
+from go_html_transform_spark.operators import selection as SEL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(23)
+    rows = []
+    for i in range(30):
+        n = rng.randrange(3, 60)
+        toks = [rng.randrange(40) for _ in range(n)]
+        rows.append((f"d{i:06d}", toks, "en" if i % 3 else "de"))
+    rows.append(("d000030", [7], "en"))  # too short for a bigram
+    rows.append(("d000031", [], "en"))  # empty
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, lang string"
+    )
+
+
+QUERIES = [(0, [1, 2, 3]), (1, [5, 17]), (2, [39])]
+
+
+def _py_bm25(rows, queries, k1=1.2, b=0.75):
+    """Textbook reference, plain python."""
+    n = len(rows)
+    total = sum(len(t) for _, t, _ in rows)
+    avgdl = total / n
+    df = {}
+    for _, toks, _ in rows:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qtoks in queries:
+        scores = {}
+        for did, toks, _ in rows:
+            s = 0.0
+            for qt in qtoks:
+                tf = toks.count(qt)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[qt] + 0.5) / (df[qt] + 0.5))
+                sat = tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+                )
+                s += idf * sat
+            if s > 0:
+                scores[did] = s
+        out[qid] = scores
+    return out
+
+
+def test_bm25_double_matches_python_reference(spark, docs):
+    rows = [(r.doc_id, list(r.tokens), r.lang) for r in docs.collect()]
+    ref = _py_bm25(rows, QUERIES)
+    got = R.bm25_topk(docs, QUERIES, topk=1000).collect()
+    for r in got:
+        assert abs(r.score - ref[r.query_id][r.doc_id]) < 1e-9
+    # ranks follow (score desc, doc asc) and are dense from 1
+    for qid, scores in ref.items():
+        want = sorted(scores, key=lambda d: (-scores[d], d))
+        have = [r.doc_id for r in sorted(
+            (x for x in got if x.query_id == qid), key=lambda x: x.rank
+        )]
+        assert have == want
+
+
+def _py_bm25_int(rows, queries, topk):
+    """Integer-exact reference of the quantized path (python bigints)."""
+    n = len(rows)
+    total = sum(len(t) for _, t, _ in rows)
+    df = {}
+    for _, toks, _ in rows:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = []
+    for qid, qtoks in queries:
+        scores = {}
+        for did, toks, _ in rows:
+            s = 0
+            dl = len(toks)
+            for qt in qtoks:
+                tf = toks.count(qt)
+                if tf == 0:
+                    continue
+                idf = min(((n - df[qt]) * 1_000_000) // (df[qt] + 1), R.IDF_PPM_CAP)
+                ln_ppm = 250000 + (750000 * dl * n) // total
+                den = tf * 1_000_000 + (12 * ln_ppm) // 10
+                sat = (tf * 2_200_000 * 1_000_000) // den
+                s += (idf * sat) // 1_000_000_000
+            if s:
+                scores[did] = s
+        ranked = sorted(scores, key=lambda d: (-scores[d], d))[:topk]
+        out.extend((qid, d, scores[d], i + 1) for i, d in enumerate(ranked))
+    return sorted(out)
+
+
+def test_bm25_int_exact_vs_python_bigints(spark, docs):
+    rows = [(r.doc_id, list(r.tokens), r.lang) for r in docs.collect()]
+    ref = _py_bm25_int(rows, QUERIES, topk=7)
+    got = sorted(
+        (r.query_id, r.doc_id, r.score_milli, r.rank)
+        for r in R.bm25_int_topk(docs, QUERIES, topk=7).collect()
+    )
+    assert got == ref
+
+
+def test_bm25_plan_broadcasts_queries_and_df(spark, docs):
+    """The probe set and the vocab-bounded df dimension must broadcast;
+    the only corpus exchange is the postings partial-agg."""
+    plan = (
+        R.bm25_int_topk(docs, QUERIES, topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def _py_dsir(rows, target_langs=("en",)):
+    B = SEL.DSIR_BUCKETS
+    ct, cr = {}, {}
+    feats = {}
+    for did, toks, lang in rows:
+        fs = [
+            (toks[i] * SEL.DSIR_A + toks[i + 1] * SEL.DSIR_B)
+            % SEL.DSIR_P % B
+            for i in range(len(toks) - 1)
+        ]
+        feats[did] = fs
+        for f in fs:
+            cr[f] = cr.get(f, 0) + 1
+            if lang in target_langs:
+                ct[f] = ct.get(f, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    term = {
+        f: round(
+            (math.log((ct.get(f, 0) + 1.0) / (tt + B))
+             - math.log((cr[f] + 1.0) / (tr + B))) * 1000.0
+        )
+        for f in cr
+    }
+    return {
+        did: sum(term[f] for f in fs) for did, fs in feats.items()
+    }
+
+
+def test_dsir_weights_match_python_reference(spark, docs):
+    rows = [(r.doc_id, list(r.tokens), r.lang) for r in docs.collect()]
+    ref = _py_dsir(rows)
+    got = {
+        r.doc_id: (r.weight_milli, r.selected)
+        for r in SEL.dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {d for d, _, _ in rows}  # every doc present
+    for did, toks, _ in rows:
+        w = ref.get(did, 0) if len(toks) >= 2 else 0
+        assert got[did] == (w, 1 if w > 0 else 0), did
+    # the likelihood-ratio test separates: target-language docs dominate
+    # the selected set on this fixture (en docs reuse en bigram mass)
+    sel_langs = [
+        lang for did, toks, lang in rows if got[did][1] == 1
+    ]
+    assert sel_langs.count("en") > len(sel_langs) / 2
+
+
+def test_dsir_logratio_table_bounded_and_broadcast(spark, docs):
+    tab = SEL.dsir_logratio_table(docs, F.col("lang") == "en")
+    assert tab.count() <= SEL.DSIR_BUCKETS
+    plan = (
+        SEL.dsir_weights(docs, F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
