@@ -1,0 +1,162 @@
+"""Distributed BPE tokenizer training: learn byte-pair-encoding merges
+over a token-array corpus (Sennrich et al. 2016, arXiv:1508.07909), and
+apply a trained merge table — the vocabulary-construction op of a
+training-data pipeline.
+
+Semantics (classic BPE, pinned by a pure-python reference in tests):
+
+* counting: every adjacent position contributes — "a a a" counts the
+  pair (a,a) twice;
+* selection: most frequent pair wins, ties break to the smallest (a,b);
+* replacement: leftmost-first non-overlapping — "a a a" + merge (a,a)
+  -> [new, a].
+
+Design for 10^12 rows:
+
+* each training round is ONE corpus pass: the adjacent-pair count is
+  the posexplode + partial-agg'd groupBy of sketches.bigram_counts
+  (no HOF-capture, whole-stage codegen), and only the driver-sized
+  top-of-the-count-table crosses to the driver.
+* `batch` > 1 amortizes passes: one count pass yields up to `batch`
+  merges, greedily chosen from the ranked pair table so that no chosen
+  pair shares a token id with an earlier choice (non-interacting:
+  neither member of a later pair can be created or consumed by an
+  earlier one, so applying them in priority order equals applying them
+  sequentially — asserted in tests). batch=1 is EXACTLY sequential BPE;
+  batch>1 is the standard scalable approximation (it may pick a pair
+  whose count would have changed under an earlier merge of the same
+  round, never one whose members overlap).
+* merge application is inherently per-row sequential, so it runs as an
+  Arrow-batched mapInPandas (the sanctioned python tier — never
+  row-at-a-time F.udf); lineage is truncated with localCheckpoint every
+  `checkpoint_every` rounds so the iterative plan doesn't grow without
+  bound (same discipline as dedup.connected_components).
+* new token ids are allocated from `next_id` upward (default: corpus
+  max + 1 via one agg), deterministic and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(a, b, cnt) adjacent-pair counts over the current corpus — the
+    per-round statistic. Identical machinery to sketches.bigram_counts
+    (posexplode + element_at on the same array attribute)."""
+    exploded = df.select(F.col(tokens_col).alias("__t")).select(
+        "__t", F.posexplode("__t").alias("i", "a")
+    )
+    return (
+        exploded.filter(F.col("i") < F.size("__t") - 1)
+        .select("a", F.element_at("__t", F.col("i") + F.lit(2)).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _apply_merges_row(toks: list[int], merges: list[tuple[int, int, int]]) -> list[int]:
+    """Apply merges in priority order, each leftmost-first non-overlapping."""
+    for a, b, new in merges:
+        out: list[int] = []
+        i, n = 0, len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(new)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge table: schema-preserving
+    mapInPandas, merges applied in priority order per row."""
+    if not merges:
+        return df
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+    ti = cols.index(tokens_col)
+    mlist = [(int(a), int(b), int(n)) for a, b, n in merges]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[cols[ti]] = pd.Series(
+                [_apply_merges_row(list(t), mlist) for t in pdf.iloc[:, ti]],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    tokens_col: str = "tokens",
+    batch: int = 1,
+    next_id: int | None = None,
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+    round_sizes: list[int] | None = None,
+) -> tuple[list[tuple[int, int, int]], DataFrame]:
+    """Learn up to ``num_merges`` BPE merges. Returns (merge table in
+    priority order, the corpus with all merges applied). Stops early
+    when no pair reaches ``min_count``. If ``round_sizes`` is passed,
+    the number of merges chosen by each count round is appended to it
+    (a round may yield fewer than ``batch`` when the ranked table runs
+    out of non-interacting pairs)."""
+    if next_id is None:
+        next_id = int(
+            df.select(
+                F.coalesce(
+                    F.max(F.array_max(F.col(tokens_col))), F.lit(-1)
+                ).alias("m")
+            ).collect()[0]["m"]
+        ) + 1
+    merges: list[tuple[int, int, int]] = []
+    cur = df
+    rounds = 0
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        # over-fetch: after dropping interacting pairs we still want `want`
+        top = (
+            pair_counts(cur, tokens_col)
+            .filter(F.col("cnt") >= min_count)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(want * 4)
+            .collect()
+        )
+        chosen: list[tuple[int, int, int]] = []
+        used: set[int] = set()
+        for r in top:
+            a, b = int(r["a"]), int(r["b"])
+            if a in used or b in used:
+                continue
+            chosen.append((a, b, next_id))
+            used.update((a, b))
+            next_id += 1
+            if len(chosen) >= want:
+                break
+        if not chosen:
+            break
+        merges.extend(chosen)
+        if round_sizes is not None:
+            round_sizes.append(len(chosen))
+        cur = bpe_apply(cur, chosen, tokens_col)
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges, cur
