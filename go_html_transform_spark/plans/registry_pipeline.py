@@ -15,7 +15,9 @@ from go_html_transform_spark.functions import redact as RD
 from go_html_transform_spark.functions import repetition as REP
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.functions import tokenize as TK
+from go_html_transform_spark.operators import bloom as BL
 from go_html_transform_spark.operators import boilerplate as BP
+from go_html_transform_spark.operators import decontaminate as DC
 from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import packing as PK
 from go_html_transform_spark.operators import retrieval as R
@@ -515,6 +517,34 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary (see functions/tokenize.py) — tiny by definition, broadcast
 _BM25_QUERIES = [(0, [982, 756, 310]), (1, [923, 819, 607, 147]), (2, [542, 35, 974])]
 
+# bloom fixture: the "benchmark" is every 50th doc's 8-gram hash set
+_BLOOM_EVAL_CTE = (
+    f"(SELECT DISTINCT unnest({DC.ngram_hashes_sql('tokens', 8)}) AS h "
+    "FROM doc WHERE CAST(doc_id[2:] AS INTEGER) % 50 = 0)"
+)
+_BP0, _BP1, _BP2 = BL._positions_sql("h", 4096, 3)
+_BLOOM_DOC_SQL = f"""
+  WITH blev AS (SELECT h FROM {_BLOOM_EVAL_CTE} ev),
+  blw AS ({BL.bloom_build_sql('blev', 'h')}),
+  bldh AS (SELECT DISTINCT doc_id,
+                  unnest({DC.ngram_hashes_sql('tokens', 8)}) AS h FROM doc),
+  blpos AS (SELECT doc_id, h, {_BP0} AS p0, {_BP1} AS p1, {_BP2} AS p2
+            FROM bldh),
+  blcand AS (
+    SELECT b.doc_id, b.h FROM blpos b
+    JOIN blw w0 ON w0.word_idx = CAST(b.p0 // 32 AS INTEGER)
+               AND (w0.word & (1::BIGINT << CAST(b.p0 % 32 AS INTEGER))) <> 0
+    JOIN blw w1 ON w1.word_idx = CAST(b.p1 // 32 AS INTEGER)
+               AND (w1.word & (1::BIGINT << CAST(b.p1 % 32 AS INTEGER))) <> 0
+    JOIN blw w2 ON w2.word_idx = CAST(b.p2 // 32 AS INTEGER)
+               AND (w2.word & (1::BIGINT << CAST(b.p2 % 32 AS INTEGER))) <> 0)
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM blev) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exact
+  FROM blcand GROUP BY doc_id
+"""
+
 
 @register(
     "corpus_token_stats",
@@ -576,6 +606,13 @@ _BM25_QUERIES = [(0, [982, 756, 310]), (1, [923, 819, 607, 147]), (2, [542, 35, 
         SELECT 'dsir', CAST(ddoc[2:] AS INTEGER),
                CAST(selected AS INTEGER), weight_milli
         FROM ({SEL.dsir_weights_sql('doc')})
+        UNION ALL
+        SELECT 'bloom', word_idx, CAST(NULL AS INTEGER), word
+        FROM ({BL.bloom_build_sql(_BLOOM_EVAL_CTE, 'h')})
+        UNION ALL
+        SELECT 'bloom_doc', CAST(doc_id[2:] AS INTEGER),
+               CAST(n_candidates AS INTEGER), n_exact
+        FROM ({_BLOOM_DOC_SQL})
         """
     ),
 )
@@ -745,6 +782,26 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("selected").cast("int").alias("k2"),
         F.col("weight_milli").alias("cnt"),
     )
+    ev_hashes = (
+        doc.filter(F.substring("doc_id", 2, 16).cast("int") % 50 == 0)
+        .select(F.explode(DC.ngram_hashes(F.col("tokens"), 8)).alias("h"))
+        .distinct()
+    )
+    bloom_words = BL.bloom_build(ev_hashes, "h").select(
+        F.lit("bloom").alias("variant"),
+        F.col("word_idx").alias("k1"),
+        F.lit(None).cast("int").alias("k2"),
+        F.col("word").alias("cnt"),
+    )
+    bloom_doc = BL.bloom_prefilter_contaminated(
+        doc.select("doc_id", DC.ngram_hashes(F.col("tokens"), 8).alias("ngram_hashes")),
+        ev_hashes,
+    ).select(
+        F.lit("bloom_doc").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("n_candidates").cast("int").alias("k2"),
+        F.col("n_exact").alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -760,4 +817,6 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunk)
         .unionByName(bm25)
         .unionByName(dsir)
+        .unionByName(bloom_words)
+        .unionByName(bloom_doc)
     )
