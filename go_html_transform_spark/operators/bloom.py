@@ -162,15 +162,18 @@ def bloom_prefilter_contaminated(
     words = bloom_fold(
         bloom_build(eval_hashes, eval_hash_col, m_bits, k), m_bits
     )
-    # probe FIRST, dedup after: the row-local bloom filter cuts the
-    # exploded stream to candidates before the (id, hash)-keyed
-    # distinct exchange — only matches + false positives ever shuffle
+    # per-doc distinct is ROW-LOCAL (array_distinct before the explode,
+    # the contaminated_hits trick) and the bloom probe is row-local too,
+    # so candidates reach the per-doc count without any corpus-sized
+    # exchange — only matches + false positives ever shuffle
     cand = (
-        corpus.select(F.col(id_col), F.explode(hashes_col).alias("__h"))
+        corpus.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col(hashes_col))).alias("__h"),
+        )
         .crossJoin(F.broadcast(words))
         .filter(bloom_contains(F.col("bloom_words"), F.col("__h"), m_bits, k))
         .select(id_col, "__h")
-        .dropDuplicates([id_col, "__h"])
     )
     exact = cand.join(
         F.broadcast(

@@ -830,3 +830,54 @@ def streaming_ewma(
         .groupBy(partition_by)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
     )
+
+
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 13,
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 3,
+) -> DataFrame:
+    """Streaming twin of decontaminate.contaminated_hits: one row per
+    (streamed document, matched distinct eval n-gram), append-mode and
+    STATELESS — contamination is a per-row property, so no watermark, no
+    state store, and results stream out the same micro-batch they
+    arrive.
+
+    Plan shape mirrors the batch op: row-local n-gram hashes +
+    array_distinct, narrow explode, then a stream-static broadcast LEFT
+    SEMI join against the eval hash set. With ``bloom_m_bits`` set, the
+    folded bloom words of the eval set are collected driver-side
+    (m_bits/32 int64s — literal-inlined like an IVF codebook) and the
+    row-local probe drops non-candidates BEFORE the semi-join; the exact
+    join then only sees matches + FPR, and the output is unchanged
+    (bloom never misses a member). Per-doc counts are the consumer's
+    streaming aggregation (or batch contamination_counts at rest)."""
+    from go_html_transform_spark.operators import bloom as BL
+    from go_html_transform_spark.operators import decontaminate as DC
+
+    ngrams = doc_stream.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(DC.ngram_hashes(F.col(tokens_col), n))
+        ).alias("__ng"),
+    )
+    if bloom_m_bits is not None:
+        ev_hashes = DC.eval_ngram_set(eval_df, tokens_col, n)
+        row = BL.bloom_fold(
+            BL.bloom_build(ev_hashes.withColumnRenamed("__ng", "h"), "h",
+                           bloom_m_bits, bloom_k),
+            bloom_m_bits,
+        ).collect()[0]
+        words = F.array(*[F.lit(int(w)) for w in row.bloom_words])
+        ngrams = ngrams.filter(
+            BL.bloom_contains(words, F.col("__ng"), bloom_m_bits, bloom_k)
+        )
+    return ngrams.join(
+        F.broadcast(DC.eval_ngram_set(eval_df, tokens_col, n, distinct=False)),
+        "__ng",
+        "left_semi",
+    )

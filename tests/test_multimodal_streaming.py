@@ -816,3 +816,56 @@ def test_streaming_asof_enrich_many_stateful_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(want) == 240
     assert got == want
+
+
+def test_streaming_decontaminate_matches_batch_hits(spark, tmp_path):
+    """Stateless stream-static decontamination: hit multiset over three
+    micro-batches == batch contaminated_hits; bloom pre-filter variant
+    produces IDENTICAL output (exact verify after the probe)."""
+    import random
+
+    from go_html_transform_spark.operators import decontaminate as DC
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(36):
+        rows.append((f"d{i:06d}", [rng.randrange(1024) for _ in range(30)]))
+    rows[5] = ("d000005", list(rows[0][1]))  # full copy of eval doc
+    rows[7] = ("d000007", rows[1][1][:3] + rows[0][1][:13])  # partial
+    base = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    ev = base.filter(F.col("doc_id") == "d000000").select("tokens")
+
+    batch_hits = sorted(
+        (r.doc_id, r["__ng"])
+        for r in DC.contaminated_hits(base, ev, "doc_id", n=13).collect()
+    )
+    assert batch_hits  # the planted copies must register
+
+    src = str(tmp_path / "docs")
+    for lo, hi in ((0, 12), (12, 24), (24, 36)):
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id string, tokens array<int>"
+        ).coalesce(1).write.mode("append").parquet(src)
+    for m_bits in (None, 4096):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ST.streaming_decontaminate(
+            stream, ev, n=13, bloom_m_bits=m_bits
+        )
+        assert out.isStreaming
+        name = f"dec_hits_{m_bits or 0}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.doc_id, r["__ng"]) for r in spark.table(name).collect()
+        )
+        assert got == batch_hits, m_bits

@@ -307,6 +307,47 @@ def main() -> None:
         SIM.pq_encode(emb, pq_books).select("vec_id", "pq_code")
     ))
 
+    # --- retrieval / selection / semantic dedup / bloom / BPE ------------
+    from go_html_transform_spark.operators import bloom as BL
+    from go_html_transform_spark.operators import bpe as BPE
+    from go_html_transform_spark.operators import decontaminate as DC
+    from go_html_transform_spark.operators import retrieval as RET
+    from go_html_transform_spark.operators import selection as SEL
+
+    bm25_queries = [(0, [982, 756, 310]), (1, [923, 819, 607, 147]), (2, [542, 35, 974])]
+    timed("bm25_int_topk", n_doc_big, lambda: drain(
+        RET.bm25_int_topk(doc_big.select("doc_id", "tokens"), bm25_queries, topk=10)
+    ))
+    timed("dsir_weights", n_doc_big, lambda: drain(
+        SEL.dsir_weights(doc_big, F.col("lang") == "en")
+    ))
+
+    sem_cents = SIM.ivf_centroids(emb, k=8)
+    timed("semdedup_pairs", n_emb, lambda: drain(
+        D.semantic_dup_pairs(emb, sem_cents, threshold=0.4)
+    ))
+
+    bloom_corpus = doc_big.select(
+        "doc_id", DC.ngram_hashes(F.col("tokens"), 8).alias("ngram_hashes")
+    )
+    bloom_ev = (
+        doc_raw.filter(F.substring("doc_id", 2, 16).cast("int") % 50 == 0)
+        .select(F.explode(DC.ngram_hashes(F.col("tokens"), 8)).alias("h"))
+        .distinct()
+    )
+    timed("bloom_prefilter", n_doc_big, lambda: drain(
+        BL.bloom_prefilter_contaminated(bloom_corpus, bloom_ev)
+    ))
+
+    def run_bpe() -> None:
+        merges, out = BPE.bpe_train(
+            doc_big.select("doc_id", "tokens"), num_merges=8, batch=8,
+            next_id=2048,
+        )
+        drain(out)
+
+    timed("bpe_1round_8merges", n_doc_big, run_bpe, iters=1)
+
     # --- end-to-end corpus preparation (raw corpus: the near-dup stage's
     # pair structure is corpus-shaped, see replication policy note) -------
     from go_html_transform_spark.plans.prepare import prepare_training_corpus
