@@ -401,7 +401,14 @@ def main() -> None:
         "shuffle is tmpfs memcpy (compression off, no network); on a real "
         "cluster shuffle bytes over the network are the cost, and the "
         "plan-audited 1-vs-k exchange count (BENCH/PLANS.md) is the "
-        "number that scales.",
+        "number that scales. `semdedup_pairs` is pair-shaped (raw "
+        "embeddings; k=8 seeded clusters over 2k vectors ≈ 250k "
+        "within-cluster pairs verified — scale governs cluster size via "
+        "k). `bpe_1round_8merges` is one full train cycle: a corpus "
+        "pair-count pass + an Arrow apply pass over 500k docs. "
+        "`bloom_prefilter` covers hash+probe+exact-verify end-to-end on "
+        "a fully-contaminated replicated corpus (worst case: every doc "
+        "survives the probe).",
         "",
         "| operator | input rows | sec | rows/sec |",
         "|---|---|---|---|",
