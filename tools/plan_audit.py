@@ -274,6 +274,70 @@ def main() -> None:
         ),
     ]
 
+    from go_html_transform_spark.operators import bloom as BL
+    from go_html_transform_spark.operators import classifier as CL
+    from go_html_transform_spark.operators import decontaminate as DC
+    from go_html_transform_spark.operators import retrieval as RET
+    from go_html_transform_spark.operators import selection as SEL
+
+    emb_d = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    sem_cents = SIM.ivf_centroids(emb_d, k=8)
+    bm25_q = [(0, [982, 756, 310]), (1, [923, 819, 607, 147])]
+    bloom_corpus = doc.select(
+        "doc_id", DC.ngram_hashes(F.col("tokens"), 8).alias("ngram_hashes")
+    )
+    bloom_ev = (
+        doc.filter(F.substring("doc_id", 2, 16).cast("int") % 50 == 0)
+        .select(F.explode(DC.ngram_hashes(F.col("tokens"), 8)).alias("h"))
+        .distinct()
+    )
+    sections += [
+        (
+            "BM25 top-k retrieval (integer-exact path)",
+            "MUST: the ONLY corpus-sized Exchange is the postings partial "
+            "agg keyed (doc, token); the probe query set and the vocab-"
+            "bounded df dimension join as BroadcastHashJoin; the per-query "
+            "top-k window runs over matched candidates only, partitioned "
+            "by query_id — never a global sort of the corpus.",
+            RET.bm25_int_topk(doc.select("doc_id", "tokens"), bm25_q, topk=10),
+        ),
+        (
+            "DSIR importance weights",
+            "MUST: the feature-count exchange is bucket-keyed with output "
+            "BOUNDED at 1024 rows; the milli-nat log-ratio table re-joins "
+            "the corpus as BroadcastHashJoin; the weight aggregation is a "
+            "doc-keyed partial agg; no Python anywhere.",
+            SEL.dsir_weights(doc, F.col("lang") == "en"),
+        ),
+        (
+            "SemDeDup within-cluster pairs",
+            "MUST: the pair join is an equi-join keyed on centroid_id "
+            "(SortMerge/ShuffledHash/BroadcastHash all acceptable) — "
+            "NEVER CartesianProduct/BroadcastNestedLoop; the assignment "
+            "itself is a zero-shuffle projection (literal codebook argmax).",
+            D.semantic_dup_pairs(emb_d, sem_cents, threshold=0.4),
+        ),
+        (
+            "Bloom pre-filtered decontamination counts",
+            "MUST: the corpus side reaches the bloom probe with NO "
+            "exchange (array_distinct + explode are row-local; the folded "
+            "words row joins via single-row BroadcastExchange); only "
+            "post-probe candidates are exchanged (doc-keyed counts); the "
+            "exact verify is a broadcast LEFT SEMI.",
+            BL.bloom_prefilter_contaminated(bloom_corpus, bloom_ev),
+        ),
+        (
+            "quality-classifier scoring (fixed-point logistic)",
+            "MUST: weights are inline literals (no join for the model); "
+            "exchanges are the (doc, bucket) feature partial agg and the "
+            "doc-keyed margin sum — both partial-aggregated; the margin "
+            "crosses the exchange as int64 micro-units (bit-deterministic).",
+            CL.score_logistic_hashed(
+                doc.select("doc_id", "tokens"), [0.0] * 1024, 0.0
+            ),
+        ),
+    ]
+
     lines = [
         "# BENCH/PLANS.md — physical-plan audit of the headline operators",
         "",
