@@ -24,7 +24,7 @@ scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -60,6 +60,10 @@ def prepare_training_corpus(
     redact_pii: bool = False,
     lm_bucket_keep_ppm: dict[int, int] | None = None,
     split_holdout_ppm: tuple[int, int] | None = None,
+    quality_model: tuple[list[float], float] | None = None,
+    min_quality_p: float = 0.5,
+    dsir_target: Column | None = None,
+    bpe_num_merges: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (prepared DataFrame, stage-by-stage stats). Writes a
     shard-partitioned parquet corpus when ``out_dir`` is given (the
@@ -100,6 +104,18 @@ def prepare_training_corpus(
     * ``split_holdout_ppm`` — (val_ppm, test_ppm): append the
       deterministic train/val/test ``split`` column LAST (post-dedup, so
       near-duplicates cannot straddle splits).
+    * ``quality_model`` — (weights, bias) from classifier.
+      train_logistic_hashed: the LEARNED quality gate (fastText-style)
+      applied with the heuristic filters — docs below ``min_quality_p``
+      drop. One doc-keyed join of the (doc, logit) frame.
+    * ``dsir_target`` — boolean Column over the doc frame (e.g.
+      ``F.col('lang') == 'en'``): DSIR importance selection AFTER dedup
+      (operators/selection.py) — keeps docs whose hashed-bigram
+      log-likelihood ratio against the target distribution is positive.
+    * ``bpe_num_merges`` — train a BPE merge table ON THE CLEANED corpus
+      (post-dedup/selection — the standard tokenizer-training point) and
+      re-tokenize: tokens/n_tok are rewritten, merge table returned in
+      ``stats['bpe_merges']``.
     """
     doc = S.documents_tokenized(spark, sf_dir)
     stats: dict[str, int] = {}
@@ -114,6 +130,16 @@ def prepare_training_corpus(
         kept = REP.with_repetition(kept, "tokens", 3).filter(
             F.col("rep3_top_ppm") <= max_rep3_top_ppm
         ).drop("rep3_dup_ppm", "rep3_top_ppm")
+    if quality_model is not None:
+        from go_html_transform_spark.operators import classifier as CLF
+
+        qw, qb = quality_model
+        qs = CLF.score_logistic_hashed(kept, qw, qb).select(
+            "doc_id", "quality_p"
+        )
+        kept = kept.join(qs, "doc_id", "inner").filter(
+            F.col("quality_p") >= min_quality_p
+        ).drop("quality_p")
 
     persisted: list[DataFrame] = []
     if collect_stats:
@@ -191,6 +217,35 @@ def prepare_training_corpus(
         ).drop("lm_bucket")
         if collect_stats:
             stats["after_lm_bucket_sampling"] = deduped.count()
+
+    if dsir_target is not None:
+        from go_html_transform_spark.operators import selection as SELN
+
+        # dsir_weights reads the corpus twice (log-ratio table + weight
+        # pass) — pin it so the filtered scan runs once
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(deduped)
+        dw = SELN.dsir_weights(deduped, dsir_target).select(
+            "doc_id", "selected"
+        )
+        deduped = deduped.join(dw, "doc_id", "inner").filter(
+            F.col("selected") == 1
+        ).drop("selected")
+        if collect_stats:
+            stats["after_dsir_selection"] = deduped.count()
+
+    if bpe_num_merges is not None:
+        from go_html_transform_spark.operators import bpe as BPE
+
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(deduped)
+        merges, _ = BPE.bpe_train(
+            deduped.select("doc_id", "tokens"), bpe_num_merges, batch=8
+        )
+        deduped = BPE.bpe_apply(deduped, merges).withColumn(
+            "n_tok", F.size(F.col("tokens")).cast("int")
+        )
+        stats["bpe_merges"] = merges
 
     if mix_weights is not None:
         # two consumers (the rate-deriving counts + the final corpus)

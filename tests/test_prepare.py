@@ -280,3 +280,74 @@ def test_pack_contexts_assembly_roundtrip(spark):
             )
     originals = {str(k): v for k, v in rows}
     assert rebuilt == {k: v for k, v in originals.items() if v}
+
+
+def test_prepare_learned_quality_dsir_and_bpe_stages(spark):
+    """The learned-classifier gate, DSIR selection and BPE retokenization
+    compose into the recipe: survivors all clear the model threshold,
+    DSIR keeps exactly the positive-weight docs of the deduped frame,
+    and the final tokens equal the returned merge table replayed over
+    the pre-BPE tokens."""
+    from go_html_transform_spark.operators import bpe as BPE
+    from go_html_transform_spark.operators import classifier as CLF
+    from go_html_transform_spark.operators import selection as SEL
+
+    doc = S.documents_tokenized(spark, SF_DIR)
+    # train the quality model on a cheap heuristic label (quality_ppm
+    # median split) — the stage contract is scoring, not label quality
+    med = doc.select(
+        F.percentile_approx(TX.quality_score_ppm(F.col("text")), 0.5, 1000)
+    ).first()[0]
+    w, b = CLF.train_logistic_hashed(
+        doc, TX.quality_score_ppm(F.col("text")) >= med, num_iters=5
+    )
+
+    out, stats = prepare_training_corpus(
+        spark,
+        SF_DIR,
+        min_quality_ppm=0,
+        lang=None,
+        collect_stats=True,
+        quality_model=(w, b),
+        min_quality_p=0.4,
+        dsir_target=F.col("lang") == "en",
+        bpe_num_merges=6,
+    )
+    rows = out.select("doc_id", "tokens", "n_tok").collect()
+    assert len(rows) > 0
+    assert stats["after_dsir_selection"] <= stats["after_near_dedup"]
+    merges = stats["bpe_merges"]
+    assert len(merges) == 6
+
+    # survivors clear the model gate
+    surv_ids = {r.doc_id for r in rows}
+    scored = {
+        r.doc_id: r.quality_p
+        for r in CLF.score_logistic_hashed(doc, w, b).collect()
+    }
+    assert all(scored[d] >= 0.4 for d in surv_ids)
+
+    # reconstruct the pre-BPE deduped+selected frame independently and
+    # check DSIR membership + BPE replay
+    kept = doc.join(
+        spark.createDataFrame([(d,) for d in scored if scored[d] >= 0.4],
+                              "doc_id string"),
+        "doc_id", "inner",
+    )
+    exact = D.exact_dedup(kept, "doc_id", F.col("text"))
+    pairs = D.minhash_near_duplicates(
+        exact, "doc_id", threshold=0.9
+    ).select("id_a", "id_b")
+    deduped = D.near_dedup_keep_canonical(exact, pairs, "doc_id")
+    dsel = {
+        r.doc_id
+        for r in SEL.dsir_weights(deduped, F.col("lang") == "en")
+        .filter(F.col("selected") == 1)
+        .collect()
+    }
+    assert surv_ids == dsel
+    pre = {r.doc_id: list(r.tokens) for r in deduped.collect()}
+    for r in rows:
+        assert list(r.tokens) == BPE._apply_merges_row(pre[r.doc_id], merges)
+        assert r.n_tok == len(r.tokens)
+    release_training_corpus(out)
