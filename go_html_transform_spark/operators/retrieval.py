@@ -26,11 +26,13 @@ Two scoring paths, same plan shape:
   saturation is exact: tf_sat_ppm = 2.2*tf / (tf + 1.2*(0.25 +
   0.75*dl/avgdl)) in ppm.
 
-Int64 headroom (documented bounds, asserted nowhere hot): idf_ppm is
+Int64 headroom (documented bounds, property-pinned in
+tests/test_retrieval_selection.py across the WHOLE domain): idf_ppm is
 capped at 10^12 so idf_ppm * tf_sat_ppm <= 2.2e18 < 2^63; (N - df) *
-10^6 requires N < 9.2e12 docs; 750000 * dl * N requires dl * N <
-1.2e13 * avg... for larger corpora pre-divide T and N by a common power
-of ten (ranking is scale-invariant).
+10^6 requires N < 9.2e12 docs; the length norm divides by avgdl_ppm =
+(T * 10^6) // N computed DRIVER-SIDE in python bigints (arbitrary
+precision — T * 10^6 never touches an engine int64), so the engine-side
+product is only dl * 7.5e11, safe to dl ~ 1.2e7 tokens per doc.
 """
 
 from __future__ import annotations
@@ -128,6 +130,8 @@ def bm25_int_topk(
         F.sum(F.size(tokens_col)).cast("long").alias("t"),
     ).collect()[0]
     n_docs, total = int(stats["n"]), int(stats["t"])
+    # python bigint — T * 1e6 never enters an engine int64
+    avgdl_ppm = (total * 1_000_000) // n_docs
     dfreq = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     q = _queries_df(spark, queries)
     cand = post.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
@@ -139,7 +143,9 @@ def bm25_int_topk(
                 F.expr(f"(({n_docs} - df) * 1000000) div (df + 1)"),
                 F.lit(IDF_PPM_CAP),
             ).alias("idf_ppm"),
-            F.expr(f"250000 + (750000 * dl * {n_docs}) div {total}").alias("ln_ppm"),
+            F.expr(
+                f"250000 + (dl * 750000000000) div {avgdl_ppm}"
+            ).alias("ln_ppm"),
             "tf",
         )
         .select(
@@ -196,7 +202,8 @@ def bm25_int_sql(
                  LEAST(((s.n - d.df) * 1000000) // (d.df + 1),
                        {IDF_PPM_CAP}) AS idf_ppm,
                  p.tf * 1000000
-                   + (12 * (250000 + (750000 * p.dl * s.n) // s.t)) // 10
+                   + (12 * (250000 + (p.dl * 750000000000)
+                            // s.avgdl_ppm)) // 10
                    AS den_ppm
           FROM (
             SELECT q.query_id, t.{id_expr}, t.dl, t.token,
@@ -214,9 +221,15 @@ def bm25_int_sql(
             GROUP BY token
           ) d ON d.token = p.token
           CROSS JOIN (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(len({tokens})) AS BIGINT) AS t
-            FROM {rel}
+            -- avgdl in ppm; the T*1e6 product runs as HUGEINT so the
+            -- twin stays exact at any scale (the Spark side computes
+            -- this value driver-side in python bigints)
+            SELECT n, t,
+                   CAST((CAST(t AS HUGEINT) * 1000000) // n AS BIGINT)
+                     AS avgdl_ppm
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(len({tokens})) AS BIGINT) AS t
+                  FROM {rel})
           ) s
         )
         GROUP BY query_id, {id_expr}

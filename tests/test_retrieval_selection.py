@@ -81,6 +81,7 @@ def _py_bm25_int(rows, queries, topk):
     for _, toks, _ in rows:
         for t in set(toks):
             df[t] = df.get(t, 0) + 1
+    avgdl_ppm = (total * 1_000_000) // n
     out = []
     for qid, qtoks in queries:
         scores = {}
@@ -92,7 +93,7 @@ def _py_bm25_int(rows, queries, topk):
                 if tf == 0:
                     continue
                 idf = min(((n - df[qt]) * 1_000_000) // (df[qt] + 1), R.IDF_PPM_CAP)
-                ln_ppm = 250000 + (750000 * dl * n) // total
+                ln_ppm = 250000 + (dl * 750_000_000_000) // avgdl_ppm
                 den = tf * 1_000_000 + (12 * ln_ppm) // 10
                 sat = (tf * 2_200_000 * 1_000_000) // den
                 s += (idf * sat) // 1_000_000_000
@@ -179,3 +180,47 @@ def test_dsir_logratio_table_bounded_and_broadcast(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_int_terms_fit_int64_within_documented_bounds():
+    """Property (pure python, no Spark): every ENGINE-SIDE intermediate
+    of the quantized BM25 stays inside int64 across the whole documented
+    domain — N < 9.2e12 docs, dl <= 1e6 tokens, tf <= dl, df <= N,
+    avgdl in [1, 1e4]. (avgdl_ppm itself is computed driver-side in
+    python bigints, so T * 1e6 never enters an engine int64 — writing
+    the first version of this test surfaced that the original
+    750000*dl*N formulation overflowed at N=1e12, dl=1e4.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    I64 = 2**63 - 1
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(1, 9_200_000_000_000),
+        avgdl=st.integers(1, 10_000),
+        dl=st.integers(1, 1_000_000),
+        tf_frac=st.floats(0.0, 1.0),
+        df_frac=st.floats(0.0, 1.0),
+    )
+    def check(n, avgdl, dl, tf_frac, df_frac):
+        t = n * avgdl
+        tf = max(1, int(tf_frac * dl))
+        df = max(1, int(df_frac * n))
+        idf_num = (n - df) * 1_000_000
+        assert 0 <= idf_num <= I64
+        idf = min(idf_num // (df + 1), R.IDF_PPM_CAP)
+        avgdl_ppm = (t * 1_000_000) // n  # driver-side bigint
+        ln_num = dl * 750_000_000_000
+        assert ln_num <= I64  # engine-side product, whole domain
+        ln_ppm = 250_000 + ln_num // avgdl_ppm
+        den = tf * 1_000_000 + (12 * ln_ppm) // 10
+        assert den <= I64
+        sat_num = tf * 2_200_000 * 1_000_000
+        assert sat_num <= I64
+        sat = sat_num // den
+        assert sat <= 2_200_000
+        assert idf * sat <= I64
+        assert (idf * sat) // 1_000_000_000 >= 0
+
+    check()
