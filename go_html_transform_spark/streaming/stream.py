@@ -881,3 +881,38 @@ def streaming_decontaminate(
         "__ng",
         "left_semi",
     )
+
+
+def streaming_bloom_build(
+    key_stream: DataFrame,
+    key_col: str = "h",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental bloom-filter construction over a stream of keys — the
+    state-CONSTANT streaming set sketch (same contract as
+    streaming_token_stats' CMS: the aggregation state IS the sketch,
+    bounded at m_bits/32 word rows regardless of stream length).
+    Complete-mode output emits the whole (tiny) words table each
+    trigger; bit_or is idempotent, so replayed keys never corrupt the
+    sketch, and the result merges word-wise (bit_or again) with any
+    batch bloom built by operators/bloom.bloom_build over historical
+    data — the lambda-architecture union without re-reading history.
+    Drained with availableNow it equals the batch build exactly
+    (tests/test_multimodal_streaming.py)."""
+    from go_html_transform_spark.operators import bloom as BL
+
+    pos = F.explode(
+        F.array(*BL._positions(F.col(key_col), m_bits, k))
+    ).alias("pos")
+    return (
+        key_stream.select(pos)
+        .select(
+            F.expr("pos div 32").cast("int").alias("word_idx"),
+            F.element_at(
+                BL._bit_masks(), (F.col("pos") % 32).cast("int") + 1
+            ).alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )

@@ -719,3 +719,30 @@ def test_semantic_dup_pairs_plan_is_equi_join(spark, vectors):
     plan = D.semantic_dup_pairs(vectors, cents, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_composes_with_trained_centroids(spark):
+    """The SemDeDup machinery is codebook-agnostic: the Lloyd-trained
+    coarse centroids plug in unchanged, every vector still lands in
+    exactly one cluster, and pairs stay within-cluster under the trained
+    assignment (the quality path for production; seeded centroids remain
+    the oracle anchor)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = SIM.ivf_trained_centroids(emb, k=8, sample_n=128, iters=2)
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in SIM.ivf_assign(emb, cents, id_col="vec_id").collect()
+    }
+    assert len(assign) == emb.count()
+    pairs = D.semantic_dup_pairs(emb, cents, threshold=0.4).collect()
+    for r in pairs:
+        assert assign[r.id_a] == assign[r.id_b] == r.cid
+    kept = D.semantic_dedup_keep(emb, cents, threshold=0.4)
+    dropped = {r.id_b for r in pairs}
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert kept_ids == set(assign) - {
+        b for b in dropped
+        if any(r.id_b == b and r.id_a < b for r in pairs)
+    }

@@ -869,3 +869,36 @@ def test_streaming_decontaminate_matches_batch_hits(spark, tmp_path):
             (r.doc_id, r["__ng"]) for r in spark.table(name).collect()
         )
         assert got == batch_hits, m_bits
+
+
+def test_streaming_bloom_build_equals_batch(spark, tmp_path):
+    """availableNow drain of the streaming bloom == batch bloom_build on
+    the same keys; the state is bounded at m/32 words."""
+    import random
+
+    from go_html_transform_spark.operators import bloom as BL
+
+    rng = random.Random(3)
+    keys = sorted(rng.sample(range(10**9), 400))
+    src = str(tmp_path / "keys")
+    for lo, hi in ((0, 150), (150, 300), (300, 400)):
+        spark.createDataFrame(
+            [(h,) for h in keys[lo:hi]], "h long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got_df = ST.run_available_now(
+        ST.streaming_bloom_build(stream), "bloom_words_stream"
+    )
+    got = {r.word_idx: r.word for r in got_df.collect()}
+    batch = {
+        r.word_idx: r.word
+        for r in BL.bloom_build(
+            spark.createDataFrame([(h,) for h in keys], "h long"), "h"
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) <= 4096 // 32
