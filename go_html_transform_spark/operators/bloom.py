@@ -52,9 +52,18 @@ def _bit_masks() -> Column:
     return F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
 
 
+def _check_m(m_bits: int) -> None:
+    # a partial trailing word would be silently dropped by the dense
+    # fold, turning missing bits into false NEGATIVES — the one failure
+    # a bloom filter must never have
+    if m_bits <= 0 or m_bits % 32:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+
+
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k bit positions for a nonnegative int64 key (exact int64: key
     folds through mod P first, so products stay < 2^38)."""
+    _check_m(m_bits)
     out = []
     for seed in BLOOM_SEEDS[:k]:
         a, b = _seeded_const(seed)
@@ -110,6 +119,7 @@ def bloom_fold(words: DataFrame, m_bits: int = 4096) -> DataFrame:
     """Collapse the sparse words table to ONE row holding the dense
     ``bloom_words array<long>`` (length m_bits/32, zeros filled) — the
     broadcastable at-rest form."""
+    _check_m(m_bits)
     nwords = m_bits // 32
     return (
         words.groupBy()
@@ -175,20 +185,20 @@ def bloom_prefilter_contaminated(
         .filter(bloom_contains(F.col("bloom_words"), F.col("__h"), m_bits, k))
         .select(id_col, "__h")
     )
-    exact = cand.join(
-        F.broadcast(
-            eval_hashes.select(F.col(eval_hash_col).alias("__h")).distinct()
-        ),
-        "__h",
-        "left_semi",
-    ).select(F.col(id_col), F.lit(1).alias("__e"))
-    n_cand = cand.groupBy(id_col).agg(F.count("*").alias("n_candidates"))
-    n_exact = exact.groupBy(id_col).agg(F.count("*").alias("n_exact"))
+    # ONE pass over the candidate stream: the exact check rides as a
+    # broadcast LEFT join hit flag, so candidates and exact matches
+    # aggregate together (a left_semi + separate count would evaluate
+    # the corpus-sized candidate subtree twice)
+    hits = F.broadcast(
+        eval_hashes.select(F.col(eval_hash_col).alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     return (
-        n_cand.join(n_exact, id_col, "left")
-        .select(
-            id_col,
-            "n_candidates",
-            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        cand.join(hits, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_exact"),
         )
     )

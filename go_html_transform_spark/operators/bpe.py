@@ -46,17 +46,12 @@ from pyspark.sql import functions as F
 
 def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """(a, b, cnt) adjacent-pair counts over the current corpus — the
-    per-round statistic. Identical machinery to sketches.bigram_counts
-    (posexplode + element_at on the same array attribute)."""
-    exploded = df.select(F.col(tokens_col).alias("__t")).select(
-        "__t", F.posexplode("__t").alias("i", "a")
-    )
-    return (
-        exploded.filter(F.col("i") < F.size("__t") - 1)
-        .select("a", F.element_at("__t", F.col("i") + F.lit(2)).alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
+    per-round statistic. Delegates to sketches.bigram_counts (ONE copy
+    of the codegen-safe posexplode + element_at machinery, including its
+    NULL-array/NULL-element guard)."""
+    from go_html_transform_spark.operators.sketches import bigram_counts
+
+    return bigram_counts(df, tokens_col)
 
 
 def _apply_merges_row(toks: list[int], merges: list[tuple[int, int, int]]) -> list[int]:
@@ -93,7 +88,12 @@ def bpe_apply(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[cols[ti]] = pd.Series(
-                [_apply_merges_row(list(t), mlist) for t in pdf.iloc[:, ti]],
+                [
+                    # NULL arrays pass through as NULL (pair_counts
+                    # tolerates them, so apply must too)
+                    None if t is None else _apply_merges_row(list(t), mlist)
+                    for t in pdf.iloc[:, ti]
+                ],
                 index=pdf.index,
                 dtype=object,
             )

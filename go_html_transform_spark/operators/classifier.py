@@ -47,17 +47,23 @@ def _doc_features(
     doc: DataFrame, id_col: str, tokens: str, extra: list[str]
 ) -> DataFrame:
     """(id, extra..., bucket, x): per-doc length-normalized hashed-bigram
-    frequencies — row-local explode, one (id, bucket)-keyed partial agg,
-    normalization via a doc-partitioned window (no extra exchange: same
-    key as the groupBy)."""
+    frequencies. The normalizer is the doc's total bigram count
+    (size(tokens) - 1), known ROW-LOCALLY before the explode — so the
+    ONLY exchange is the (id, bucket)-keyed partial agg (a per-doc
+    normalization window would force a second corpus-wide shuffle:
+    hashpartitioning on the full groupBy key does not satisfy a
+    partitionBy(id) window)."""
+    with_nb = doc.withColumn(
+        "__nb",
+        F.greatest(F.size(F.col(tokens)) - 1, F.lit(1)).cast("long"),
+    )
     counts = (
-        _bigram_buckets(doc, tokens, [id_col, *extra])
-        .groupBy(id_col, *extra, "bucket")
+        _bigram_buckets(with_nb, tokens, [id_col, "__nb", *extra])
+        .groupBy(id_col, "__nb", *extra, "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    tot = Window.partitionBy(id_col)
-    return counts.withColumn("x", F.col("cnt") / F.sum("cnt").over(tot)).drop(
-        "cnt"
+    return counts.withColumn("x", F.col("cnt") / F.col("__nb")).drop(
+        "cnt", "__nb"
     )
 
 
@@ -83,12 +89,20 @@ def train_logistic_hashed(
 ) -> tuple[list[float], float]:
     """Batch gradient descent for L2-regularized logistic regression on
     length-normalized hashed-bigram frequencies. Returns (weights, bias),
-    bit-deterministic across layouts (see module docstring)."""
+    bit-deterministic across layouts (see module docstring).
+
+    Docs too short for any bigram feature carry no signal the model can
+    use, so they sit OUT of training entirely — the gradient (bias
+    included) and its 1/n normalizer run over featured docs only;
+    scoring later assigns featureless docs the bare-bias prior."""
     feats = (
         _doc_features(doc.withColumn("__y", label.cast("int")), id_col, tokens, ["__y"])
         .persist()
     )
-    n_docs = doc.count()
+    n_docs = feats.select(id_col).distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        return [0.0] * DSIR_BUCKETS, 0.0
     w = [0.0] * DSIR_BUCKETS
     b = 0.0
     for _ in range(num_iters):

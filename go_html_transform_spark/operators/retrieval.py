@@ -32,18 +32,22 @@ capped at 10^12 so idf_ppm * tf_sat_ppm <= 2.2e18 < 2^63; (N - df) *
 10^6 requires N < 9.2e12 docs; the length norm divides by avgdl_ppm =
 (T * 10^6) // N computed DRIVER-SIDE in python bigints (arbitrary
 precision — T * 10^6 never touches an engine int64), so the engine-side
-product is only dl * 7.5e11, safe to dl ~ 1.2e7 tokens per doc.
+product is only dl * 7.5e11, safe to dl ~ 1.2e7 tokens per doc; tf is
+clamped at TF_SAT_CAP = 4e6 before tf*2.2e12 (past the clamp the
+saturation term sits within 1e-6 of its asymptote, so ranking is
+unaffected). Duplicate probe tokens are deduped on ingestion — each
+(query, token) contributes once.
 """
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 IDF_PPM_CAP = 1_000_000_000_000  # raw-ratio idf cap: keeps products in int64
+TF_SAT_CAP = 4_000_000  # tf clamp: tf*2.2e6*1e6 must stay < 2^63; beyond
+# 4e6 the saturation term is within 1e-6 of its 2.2e6 ppm asymptote anyway
 
 
 def doc_postings(
@@ -64,8 +68,17 @@ def doc_postings(
 
 
 def _queries_df(spark, queries: list[tuple[int, list[int]]]) -> DataFrame:
-    rows = [(int(q), int(t)) for q, toks in queries for t in toks]
+    # dedupe (query, token): a duplicated probe token would otherwise
+    # double-count the NONLINEAR saturation term on the Spark side while
+    # the SQL twin folds it into tf — each probe token counts once
+    rows = sorted({(int(q), int(t)) for q, toks in queries for t in toks})
     return spark.createDataFrame(rows, "query_id int, token int")
+
+
+def _empty_result(spark, id_col: str, score_col: str, score_type: str):
+    return spark.createDataFrame(
+        [], f"query_id int, {id_col} string, {score_col} {score_type}, rank int"
+    )
 
 
 def bm25_topk(
@@ -86,11 +99,18 @@ def bm25_topk(
         F.count("*").cast("long").alias("n"),
         F.sum(F.size(tokens_col)).cast("long").alias("t"),
     ).collect()[0]
+    if stats["n"] is None or not int(stats["n"]) or stats["t"] is None or not int(stats["t"]):
+        return _empty_result(spark, id_col, "score", "double")
     n_docs, total = int(stats["n"]), int(stats["t"])
     avgdl = total / n_docs
-    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
     q = _queries_df(spark, queries)
-    cand = post.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
+    # restrict postings to probe tokens BEFORE the df aggregation: df is
+    # per-token, so the restriction doesn't change any kept count, and
+    # the broadcast df table is bounded by |probe tokens| instead of the
+    # (open) vocabulary
+    qpost = post.join(F.broadcast(q.select("token").distinct()), "token", "left_semi")
+    dfreq = qpost.groupBy("token").agg(F.count("*").alias("df"))
+    cand = qpost.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -129,12 +149,15 @@ def bm25_int_topk(
         F.count("*").cast("long").alias("n"),
         F.sum(F.size(tokens_col)).cast("long").alias("t"),
     ).collect()[0]
+    if stats["n"] is None or not int(stats["n"]) or stats["t"] is None or not int(stats["t"]):
+        return _empty_result(spark, id_col, "score_milli", "long")
     n_docs, total = int(stats["n"]), int(stats["t"])
     # python bigint — T * 1e6 never enters an engine int64
     avgdl_ppm = (total * 1_000_000) // n_docs
-    dfreq = post.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     q = _queries_df(spark, queries)
-    cand = post.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
+    qpost = post.join(F.broadcast(q.select("token").distinct()), "token", "left_semi")
+    dfreq = qpost.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    cand = qpost.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
     scored = (
         cand.select(
             "query_id",
@@ -146,20 +169,22 @@ def bm25_int_topk(
             F.expr(
                 f"250000 + (dl * 750000000000) div {avgdl_ppm}"
             ).alias("ln_ppm"),
-            "tf",
+            # tf saturation is within 1e-6 of its asymptote past the
+            # clamp, and tf*2.2e12 must stay under 2^63
+            F.least(F.col("tf"), F.lit(TF_SAT_CAP)).alias("tfc"),
         )
         .select(
             "query_id",
             "__doc",
             "idf_ppm",
-            F.expr("tf * 1000000 + (12 * ln_ppm) div 10").alias("den_ppm"),
-            "tf",
+            F.expr("tfc * 1000000 + (12 * ln_ppm) div 10").alias("den_ppm"),
+            "tfc",
         )
         .select(
             "query_id",
             "__doc",
             F.expr(
-                "(idf_ppm * ((tf * 2200000 * 1000000) div den_ppm))"
+                "(idf_ppm * ((tfc * 2200000 * 1000000) div den_ppm))"
                 " div 1000000000"
             ).alias("__term"),
         )
@@ -186,8 +211,12 @@ def bm25_int_sql(
     tokens: str = "tokens",
 ) -> str:
     """DuckDB twin of ``bm25_int_topk`` — identical int64 arithmetic
-    (DuckDB ``//`` == Spark ``div`` on the nonnegative domain)."""
-    qrows = ", ".join(f"({q}, {t})" for q, toks in queries for t in toks)
+    (DuckDB ``//`` == Spark ``div`` on the nonnegative domain; probe
+    tokens deduped and tf clamped exactly as the Spark side)."""
+    qrows = ", ".join(
+        f"({q}, {t})"
+        for q, t in sorted({(int(q), int(t)) for q, toks in queries for t in toks})
+    )
     return f"""
     SELECT query_id, {id_expr} AS bdoc, score_milli, rank FROM (
       SELECT query_id, {id_expr}, score_milli,
@@ -195,13 +224,14 @@ def bm25_int_sql(
                                 ORDER BY score_milli DESC, {id_expr}) AS rank
       FROM (
         SELECT query_id, {id_expr},
-               CAST(SUM((idf_ppm * ((tf * 2200000 * 1000000) // den_ppm))
+               CAST(SUM((idf_ppm * ((tfc * 2200000 * 1000000) // den_ppm))
                         // 1000000000) AS BIGINT) AS score_milli
         FROM (
-          SELECT p.query_id, p.{id_expr}, p.tf,
+          SELECT p.query_id, p.{id_expr},
+                 LEAST(p.tf, {TF_SAT_CAP}) AS tfc,
                  LEAST(((s.n - d.df) * 1000000) // (d.df + 1),
                        {IDF_PPM_CAP}) AS idf_ppm,
-                 p.tf * 1000000
+                 LEAST(p.tf, {TF_SAT_CAP}) * 1000000
                    + (12 * (250000 + (p.dl * 750000000000)
                             // s.avgdl_ppm)) // 10
                    AS den_ppm

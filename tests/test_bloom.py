@@ -131,3 +131,13 @@ def test_bloom_prefilter_composes_with_exact_verify(spark):
             assert did in got
     assert got["d000000"][1] == len(ev_set)
     assert got["d000003"][1] == len(ev_set)
+
+
+def test_bloom_rejects_partial_word_m_bits(spark):
+    """m_bits not divisible by 32 would silently drop the trailing
+    partial word in the dense fold — false negatives. Fail fast."""
+    keys = spark.createDataFrame([(1,)], "h long")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        BL.bloom_build(keys, "h", m_bits=1000)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        BL.bloom_fold(BL.bloom_build(keys, "h"), m_bits=1000)

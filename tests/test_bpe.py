@@ -124,3 +124,25 @@ def test_bpe_train_then_apply_held_out(spark, corpus):
     )
     got = list(B.bpe_apply(held, merges).collect()[0].tokens)
     assert got == B._apply_merges_row([0, 1, 2, 3, 3, 4, 5, 0, 1], merges)
+
+
+def test_bpe_apply_preserves_null_token_arrays(spark):
+    """NULL arrays pass through apply as NULL (pair_counts tolerates
+    them, so the apply pass must not crash the job)."""
+    df = spark.createDataFrame(
+        [(0, [3, 3]), (1, None)], "id long, tokens array<int>"
+    )
+    got = {r.id: r.tokens for r in B.bpe_apply(df, [(3, 3, 99)]).collect()}
+    assert list(got[0]) == [99]
+    assert got[1] is None
+
+
+def test_bpe_train_tolerates_null_arrays(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2, 1, 2]), (1, None), (2, [1, 2])],
+        "id long, tokens array<int>",
+    )
+    merges, out = B.bpe_train(df, 1, next_id=10)
+    assert merges == [(1, 2, 10)]
+    got = {r.id: r.tokens for r in out.collect()}
+    assert list(got[0]) == [10, 10] and got[1] is None and list(got[2]) == [10]

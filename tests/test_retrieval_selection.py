@@ -93,9 +93,10 @@ def _py_bm25_int(rows, queries, topk):
                 if tf == 0:
                     continue
                 idf = min(((n - df[qt]) * 1_000_000) // (df[qt] + 1), R.IDF_PPM_CAP)
+                tfc = min(tf, R.TF_SAT_CAP)
                 ln_ppm = 250000 + (dl * 750_000_000_000) // avgdl_ppm
-                den = tf * 1_000_000 + (12 * ln_ppm) // 10
-                sat = (tf * 2_200_000 * 1_000_000) // den
+                den = tfc * 1_000_000 + (12 * ln_ppm) // 10
+                sat = (tfc * 2_200_000 * 1_000_000) // den
                 s += (idf * sat) // 1_000_000_000
             if s:
                 scores[did] = s
@@ -185,7 +186,7 @@ def test_dsir_logratio_table_bounded_and_broadcast(spark, docs):
 def test_bm25_int_terms_fit_int64_within_documented_bounds():
     """Property (pure python, no Spark): every ENGINE-SIDE intermediate
     of the quantized BM25 stays inside int64 across the whole documented
-    domain — N < 9.2e12 docs, dl <= 1e6 tokens, tf <= dl, df <= N,
+    domain — N < 9.2e12 docs, dl <= 1.2e7 tokens, tf <= dl, df <= N,
     avgdl in [1, 1e4]. (avgdl_ppm itself is computed driver-side in
     python bigints, so T * 1e6 never enters an engine int64 — writing
     the first version of this test surfaced that the original
@@ -199,7 +200,7 @@ def test_bm25_int_terms_fit_int64_within_documented_bounds():
     @given(
         n=st.integers(1, 9_200_000_000_000),
         avgdl=st.integers(1, 10_000),
-        dl=st.integers(1, 1_000_000),
+        dl=st.integers(1, 12_000_000),
         tf_frac=st.floats(0.0, 1.0),
         df_frac=st.floats(0.0, 1.0),
     )
@@ -214,9 +215,11 @@ def test_bm25_int_terms_fit_int64_within_documented_bounds():
         ln_num = dl * 750_000_000_000
         assert ln_num <= I64  # engine-side product, whole domain
         ln_ppm = 250_000 + ln_num // avgdl_ppm
-        den = tf * 1_000_000 + (12 * ln_ppm) // 10
+        tfc = min(tf, R.TF_SAT_CAP)  # review finding: unclamped tf
+        # overflowed sat_num from ~4.19e6 occurrences up
+        den = tfc * 1_000_000 + (12 * ln_ppm) // 10
         assert den <= I64
-        sat_num = tf * 2_200_000 * 1_000_000
+        sat_num = tfc * 2_200_000 * 1_000_000
         assert sat_num <= I64
         sat = sat_num // den
         assert sat <= 2_200_000
@@ -224,3 +227,40 @@ def test_bm25_int_terms_fit_int64_within_documented_bounds():
         assert (idf * sat) // 1_000_000_000 >= 0
 
     check()
+
+
+def test_bm25_duplicate_probe_tokens_count_once(spark, docs):
+    """A duplicated token inside one probe list must not double the
+    nonlinear saturation term — dedup happens on ingestion, both
+    engines (review finding: Spark summed the term twice while the SQL
+    twin folded the duplicate into tf)."""
+    once = sorted(
+        (r.query_id, r.doc_id, r.score_milli)
+        for r in R.bm25_int_topk(docs, [(0, [5, 17])], topk=50).collect()
+    )
+    dup = sorted(
+        (r.query_id, r.doc_id, r.score_milli)
+        for r in R.bm25_int_topk(docs, [(0, [5, 5, 17])], topk=50).collect()
+    )
+    assert once == dup
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW doc AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{r.doc_id}', {list(r.tokens)})" for r in docs.collect()
+        )
+        + ") AS t(doc_id, tokens)"
+    )
+    sql = R.bm25_int_sql([(0, [5, 5, 17])], topk=50)
+    oracle = sorted(
+        (r[0], r[1], r[2]) for r in con.execute(sql).fetchall()
+    )
+    assert oracle == dup
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    assert R.bm25_int_topk(empty, [(0, [1])]).count() == 0
+    assert R.bm25_topk(empty, [(0, [1])]).count() == 0
