@@ -152,9 +152,22 @@ def bm25_int_topk(
     if stats["n"] is None or not int(stats["n"]) or stats["t"] is None or not int(stats["t"]):
         return _empty_result(spark, id_col, "score_milli", "long")
     n_docs, total = int(stats["n"]), int(stats["t"])
+    q = _queries_df(spark, queries)
+    return _score_int_postings(post, q, n_docs, total, topk, id_col)
+
+
+def _score_int_postings(
+    post: DataFrame,
+    q: DataFrame,
+    n_docs: int,
+    total: int,
+    topk: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared integer-exact scoring over a (``__doc``, dl, token, tf)
+    postings frame — used by the in-memory path and the at-rest index."""
     # python bigint — T * 1e6 never enters an engine int64
     avgdl_ppm = (total * 1_000_000) // n_docs
-    q = _queries_df(spark, queries)
     qpost = post.join(F.broadcast(q.select("token").distinct()), "token", "left_semi")
     dfreq = qpost.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     cand = qpost.join(F.broadcast(q), "token").join(F.broadcast(dfreq), "token")
@@ -201,6 +214,75 @@ def bm25_int_topk(
             "query_id", F.col("__doc").alias(id_col), "score_milli", "rank"
         )
     )
+
+
+def bm25_write_index(
+    table,
+    doc: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_files: int = 32,
+) -> tuple[int, int, int]:
+    """Materialize the inverted index at rest: postings range-partitioned
+    by token so each data file covers a contiguous token range, committed
+    to a ManifestTable with token footer stats (the ivf_write_index
+    layout applied to lexical retrieval). Returns (snapshot, n_docs,
+    total_tokens) — the caller persists the two corpus scalars alongside
+    the table (they are index-build-time constants; at 10^12 docs you do
+    not recount the corpus per probe).
+
+    At rest, a probe for q tokens manifest-prunes to the files whose
+    [token_min, token_max] ranges cover them — the corpus is never
+    listed, let alone scanned."""
+    stats = doc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size(tokens_col)).cast("long").alias("t"),
+    ).collect()[0]
+    n_docs = int(stats["n"] or 0)
+    total = int(stats["t"] or 0)
+    post = doc_postings(doc, id_col, tokens_col)
+    laid_out = post.repartitionByRange(max(1, n_files), F.col("token"))
+    snap = table.append(laid_out, stats_cols=["token"])
+    return snap, n_docs, total
+
+
+def bm25_topk_indexed(
+    table,
+    spark,
+    queries: list[tuple[int, list[int]]],
+    n_docs: int,
+    total: int,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> "tuple[DataFrame, int, int]":
+    """BM25 top-k against the at-rest inverted index: manifest-prune the
+    postings files to the probe tokens' ranges, then run the shared
+    integer-exact scoring over only what survives. Returns (result,
+    files_read, files_total) so callers — and tests — see the prune.
+    Identical results to ``bm25_int_topk`` on the indexed corpus: df is
+    computed from the pruned postings, which hold EVERY posting of every
+    probe token by the range-stats invariant."""
+    if n_docs <= 0 or total <= 0:
+        return _empty_result(spark, id_col, "score_milli", "long"), 0, len(
+            table.files()
+        )
+    probe_tokens = sorted({int(t) for _, toks in queries for t in toks})
+    files_total = len(table.files())
+    paths: list[str] = []
+    seen: set[str] = set()
+    for t in probe_tokens:
+        for f in table.files(prune={"token": (t, t)}):
+            if f.path not in seen:
+                seen.add(f.path)
+                paths.append(f.path)
+    if not paths:
+        return _empty_result(spark, id_col, "score_milli", "long"), 0, files_total
+    post = spark.read.parquet(*paths).filter(
+        F.col("token").isin(probe_tokens)
+    )
+    q = _queries_df(spark, queries)
+    out = _score_int_postings(post, q, n_docs, total, topk, id_col)
+    return out, len(paths), files_total
 
 
 def bm25_int_sql(

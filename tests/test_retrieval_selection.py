@@ -264,3 +264,37 @@ def test_bm25_empty_corpus_returns_empty(spark):
     empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
     assert R.bm25_int_topk(empty, [(0, [1])]).count() == 0
     assert R.bm25_topk(empty, [(0, [1])]).count() == 0
+
+
+def test_bm25_index_at_rest_prunes_and_matches(spark, docs, tmp_path):
+    """The at-rest inverted index returns EXACTLY the in-memory
+    integer-path result while reading a strict subset of the postings
+    files (manifest range-prune on token footer stats)."""
+    from go_html_transform_spark.sources.manifest_table import ManifestTable
+
+    table = ManifestTable(str(tmp_path / "bm25_idx"))
+    snap, n_docs, total = R.bm25_write_index(table, docs, n_files=8)
+    assert n_docs == docs.count()
+
+    queries = [(0, [1, 2]), (1, [39])]
+    got_df, files_read, files_total = R.bm25_topk_indexed(
+        table, spark, queries, n_docs, total, topk=7
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score_milli, r.rank) for r in got_df.collect()
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.score_milli, r.rank)
+        for r in R.bm25_int_topk(docs, queries, topk=7).collect()
+    )
+    assert got == want
+    assert 0 < files_read < files_total  # the prune did real work
+
+    # a probe for a token outside the vocabulary: the range stats
+    # exclude it entirely (beyond every file's token_max), so ZERO
+    # files are read and the result is empty — not a crash
+    empty, nread, _ = R.bm25_topk_indexed(
+        table, spark, [(0, [999999])], n_docs, total
+    )
+    assert empty.count() == 0
+    assert nread == 0
