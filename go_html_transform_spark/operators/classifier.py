@@ -125,6 +125,11 @@ def train_logistic_hashed(
                 .cast("long")
                 .alias("g"),
                 F.round(F.col("__r") * MICRO, 0).cast("long").alias("gb"),
+                # bias gradient counts once per doc via a min-bucket
+                # flag; the window adds NO exchange — it sits directly
+                # on the doc_id-keyed sort-merge join output, whose
+                # partitioning and ordering already satisfy it
+                # (plan-verified: Window directly above SortMergeJoin)
                 (F.col("bucket") == F.min("bucket").over(Window.partitionBy(id_col)))
                 .cast("int")
                 .alias("__first"),

@@ -295,10 +295,17 @@ def bm25_int_sql(
     """DuckDB twin of ``bm25_int_topk`` — identical int64 arithmetic
     (DuckDB ``//`` == Spark ``div`` on the nonnegative domain; probe
     tokens deduped and tf clamped exactly as the Spark side)."""
-    qrows = ", ".join(
-        f"({q}, {t})"
-        for q, t in sorted({(int(q), int(t)) for q, toks in queries for t in toks})
-    )
+    pairs = sorted({(int(q), int(t)) for q, toks in queries for t in toks})
+    if not pairs:
+        # `VALUES ()` is a parse error — mirror the Spark paths' empty
+        # result with a schema-correct zero-row SELECT
+        return (
+            "SELECT CAST(NULL AS INTEGER) AS query_id, "
+            "CAST(NULL AS VARCHAR) AS bdoc, "
+            "CAST(NULL AS BIGINT) AS score_milli, "
+            "CAST(NULL AS INTEGER) AS rank WHERE 1 = 0"
+        )
+    qrows = ", ".join(f"({q}, {t})" for q, t in pairs)
     return f"""
     SELECT query_id, {id_expr} AS bdoc, score_milli, rank FROM (
       SELECT query_id, {id_expr}, score_milli,

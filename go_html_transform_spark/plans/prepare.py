@@ -130,9 +130,15 @@ def prepare_training_corpus(
         kept = REP.with_repetition(kept, "tokens", 3).filter(
             F.col("rep3_top_ppm") <= max_rep3_top_ppm
         ).drop("rep3_dup_ppm", "rep3_top_ppm")
+    persisted: list[DataFrame] = []
     if quality_model is not None:
         from go_html_transform_spark.operators import classifier as CLF
 
+        # scoring consumes `kept` twice (feature subtree + the id frame)
+        # and the gate joins back a third time — pin it so the
+        # quality/lang filter scan runs once (single-execution contract)
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(kept)
         qw, qb = quality_model
         qs = CLF.score_logistic_hashed(kept, qw, qb).select(
             "doc_id", "quality_p"
@@ -140,8 +146,6 @@ def prepare_training_corpus(
         kept = kept.join(qs, "doc_id", "inner").filter(
             F.col("quality_p") >= min_quality_p
         ).drop("quality_p")
-
-    persisted: list[DataFrame] = []
     if collect_stats:
         stats["input"] = doc.count()
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
@@ -149,9 +153,11 @@ def prepare_training_corpus(
         stats["after_quality_lang_filter"] = kept.count()
 
     if boilerplate_min_docs is not None:
-        if not persisted:
+        if not kept.is_cached:
             # remove_boilerplate reads `kept` twice (hot-set subtree +
-            # corpus side) — pin it so the filter scan runs once
+            # corpus side) — pin it so the filter scan runs once (checked
+            # on the CURRENT frame: the quality-model gate may have
+            # persisted an ancestor while this post-gate frame is not)
             kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
             persisted.append(kept)
         kept = BP.remove_boilerplate(kept, "text", min_docs=boilerplate_min_docs)

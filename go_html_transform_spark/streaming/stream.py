@@ -291,7 +291,8 @@ def streaming_asof_enrich_stateful(
     carried state is just (last_label_t, last_label_v). Duplicate labels
     at the same (entity, t) resolve to max(value) — the batch engine's
     `_dedupe_right` tie-break — both inside a batch (sort puts max last)
-    and across batches (explicit max on equal t).
+    and across batches (the carried state joins each batch as a virtual
+    label row, so the same sort arbitrates replays at the carried t).
 
     Events with no label yet emit NULL, matching the batch left join.
     Scale shape: ONE shuffle of the unioned stream on the entity key;
@@ -337,6 +338,25 @@ def streaming_asof_enrich_stateful(
         last_t, last_v = state.get if state.exists else (None, None)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
+            if last_t is not None:
+                # materialize the carried state as a virtual label row:
+                # the (t, tag, v) sort below then applies the batch
+                # engine's max tie-break UNIFORMLY — a replayed label at
+                # the carried t with a smaller value sorts BEFORE the
+                # virtual row, so both the forward-fill and the state
+                # update see the max (fillna-after-ffill only covered
+                # rows before the first in-batch label, silently letting
+                # a duplicate smaller label win for later events)
+                virt = batch.iloc[:0].copy()
+                virt.loc[0] = {
+                    key_col: ent,
+                    "event_id": None,
+                    "__ts": pd.NaT,
+                    "__t": int(last_t),
+                    "__tag": 0,
+                    "__v": float(last_v),
+                }
+                batch = pd.concat([virt, batch], ignore_index=True)
             batch = batch.sort_values(
                 ["__t", "__tag", "__v", "event_id"],
                 kind="mergesort",
@@ -344,8 +364,6 @@ def streaming_asof_enrich_stateful(
             )
             is_lab = batch["__tag"] == 0
             filled = batch["__v"].where(is_lab).ffill()
-            if last_v is not None:
-                filled = filled.fillna(last_v)
             ev = batch["__tag"] == 1
             if ev.any():
                 yield pd.DataFrame(
@@ -358,13 +376,9 @@ def streaming_asof_enrich_stateful(
                 )
             if is_lab.any():
                 lrows = batch[is_lab]
-                new_t = int(lrows["__t"].iloc[-1])
-                new_v = float(lrows["__v"].iloc[-1])
-                if last_t is not None and int(last_t) == new_t:
-                    new_v = max(new_v, float(last_v))
-                state.update((new_t, new_v))
-            elif last_t is not None:
-                state.update((int(last_t), float(last_v)))
+                state.update(
+                    (int(lrows["__t"].iloc[-1]), float(lrows["__v"].iloc[-1]))
+                )
         if idle_timeout_minutes is not None:
             state.setTimeoutDuration(idle_timeout_minutes * 60_000)
 
@@ -454,6 +468,30 @@ def streaming_asof_enrich_many_stateful(
         st = list(state.get) if state.exists else [None] * (2 * k)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
+            # materialize each table's carried state as a virtual label
+            # row so the (t, tag, v) sort applies the batch engine's max
+            # tie-break uniformly (same reasoning as the single-table
+            # variant: fillna-after-ffill let a replayed smaller label
+            # at the carried t win for events after it)
+            virts = []
+            for i in range(k):
+                if st[2 * i] is not None:
+                    virts.append(
+                        {
+                            key_col: ent,
+                            "event_id": None,
+                            "__ts": pd.NaT,
+                            "__t": int(st[2 * i]),
+                            "__tag": 0,
+                            "__src": i,
+                            "__v": float(st[2 * i + 1]),
+                        }
+                    )
+            if virts:
+                batch = pd.concat(
+                    [pd.DataFrame(virts, columns=batch.columns), batch],
+                    ignore_index=True,
+                )
             batch = batch.sort_values(
                 ["__t", "__tag", "__v", "event_id"],
                 kind="mergesort",
@@ -463,17 +501,11 @@ def streaming_asof_enrich_many_stateful(
             filled = {}
             for i in range(k):
                 is_i = (batch["__tag"] == 0) & (batch["__src"] == i)
-                f_i = batch["__v"].where(is_i).ffill()
-                if st[2 * i + 1] is not None:
-                    f_i = f_i.fillna(st[2 * i + 1])
-                filled[i] = f_i
+                filled[i] = batch["__v"].where(is_i).ffill()
                 if is_i.any():
                     lrows = batch[is_i]
-                    new_t = int(lrows["__t"].iloc[-1])
-                    new_v = float(lrows["__v"].iloc[-1])
-                    if st[2 * i] is not None and int(st[2 * i]) == new_t:
-                        new_v = max(new_v, float(st[2 * i + 1]))
-                    st[2 * i], st[2 * i + 1] = new_t, new_v
+                    st[2 * i] = int(lrows["__t"].iloc[-1])
+                    st[2 * i + 1] = float(lrows["__v"].iloc[-1])
             if ev.any():
                 out = {
                     key_col: ent,
@@ -612,11 +644,15 @@ def run_available_now(
 ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; returns the
     materialized result (test/driver helper). ``output_mode`` overrides
-    the default (complete for aggregations, append otherwise — stateful
-    non-agg operators like dropDuplicatesWithinWatermark require
-    append)."""
+    the default, which probes the plan: unwatermarked streaming
+    aggregations require complete mode, everything else (stateless ops,
+    applyInPandasWithState, dropDuplicatesWithinWatermark) runs append.
+    (The old default keyed on ``isStreaming`` — true for EVERY streaming
+    frame — so non-agg streams crashed unless the caller passed
+    append explicitly.)"""
     if output_mode is None:
-        output_mode = "complete" if stream_df.isStreaming else "append"
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in plan else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

@@ -902,3 +902,72 @@ def test_streaming_bloom_build_equals_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) <= 4096 // 32
+
+
+def test_streaming_asof_replayed_smaller_label_cannot_win(spark, tmp_path):
+    """Cross-batch duplicate-label tie-break (review finding): a label
+    replayed in a LATER batch at the carried state's t with a SMALLER
+    value must not be assigned to events in that batch — the batch
+    engine's max tie-break applies across batches, not just to the
+    carried state."""
+    lsrc, esrc = str(tmp_path / "labs"), str(tmp_path / "evs")
+    # both sources advance one file per trigger, so:
+    #   batch 1 = {label (100s, v=5), event t=50s (pre-label -> NULL)}
+    #   batch 2 = {REPLAYED label (100s, v=3), event t=150s}
+    # the t=150 event processes in the same batch as the replay — the
+    # buggy fillna-after-ffill assigned it 3.0
+    for v in (5.0, 3.0):
+        spark.createDataFrame(
+            [("e1", 100_000_000, v)], "doc_id string, us long, label_value double"
+        ).select(
+            "doc_id", F.timestamp_micros(F.col("us")).alias("obs_time"), "label_value"
+        ).coalesce(1).write.mode("append").parquet(lsrc)
+    for eid, us in ((1, 50_000_000), (2, 150_000_000)):
+        spark.createDataFrame(
+            [("e1", eid, us)], "doc_id string, event_id long, us long"
+        ).select(
+            "doc_id", "event_id", F.timestamp_micros(F.col("us")).alias("event_time")
+        ).coalesce(1).write.mode("append").parquet(esrc)
+
+    def streams():
+        ls = (
+            spark.readStream.schema(
+                "doc_id string, obs_time timestamp, label_value double"
+            ).option("maxFilesPerTrigger", 1).parquet(lsrc)
+        )
+        es = (
+            spark.readStream.schema(
+                "doc_id string, event_id long, event_time timestamp"
+            ).option("maxFilesPerTrigger", 1).parquet(esrc)
+        )
+        return es, ls
+
+    es, ls = streams()
+    out = ST.run_available_now(
+        ST.streaming_asof_enrich_stateful(es, ls), "replay_single",
+        output_mode="append",
+    )
+    got = {r.event_id: r.label_value for r in out.collect()}
+    assert got[1] is None  # pre-label event
+    assert got[2] == 5.0  # max wins, not the replayed 3.0
+
+    es, ls = streams()
+    out2 = ST.run_available_now(
+        ST.streaming_asof_enrich_many_stateful(es, {"lab": ls}),
+        "replay_many",
+        output_mode="append",
+    )
+    got2 = {r.event_id: r.lab_label_value for r in out2.collect()}
+    assert got2[1] is None and got2[2] == 5.0
+
+
+def test_run_available_now_default_mode_probes_the_plan(spark, tmp_path):
+    """Non-aggregating streams drain with the default output mode (the
+    old default keyed on isStreaming — always true — and crashed)."""
+    src = str(tmp_path / "rows")
+    spark.createDataFrame(
+        [(1,), (2,)], "h long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("h long").parquet(src)
+    got = ST.run_available_now(stream.filter(F.col("h") > 1), "nonagg_default")
+    assert [r.h for r in got.collect()] == [2]

@@ -298,3 +298,12 @@ def test_bm25_index_at_rest_prunes_and_matches(spark, docs, tmp_path):
     )
     assert empty.count() == 0
     assert nread == 0
+
+
+def test_bm25_int_sql_empty_queries_parse(spark):
+    """bm25_int_sql([]) must parse in DuckDB and return zero rows
+    (review finding: `VALUES ()` was a parser error)."""
+    import duckdb
+
+    assert duckdb.sql(R.bm25_int_sql([])).fetchall() == []
+    assert duckdb.sql(R.bm25_int_sql([(0, [])])).fetchall() == []
