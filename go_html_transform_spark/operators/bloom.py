@@ -5,8 +5,22 @@ broadcast joins the pipeline leans on (decontamination eval sets,
 boilerplate hot sets, loser-id sets) when the exact key set outgrows a
 comfortable broadcast.
 
-Exact-integer by construction: positions come from the engine's shared
-affine hash family (sharding._seeded_const), words are 32-bit masks
+Exact-integer by construction: positions come from a TWO-ROUND hash
+built on the engine's shared affine family (sharding._seeded_const)
+applied to the FULL int64 key — the key splits into (hi = key >> 19,
+lo = key & 0x7ffff) so no information is folded away mod P before
+hashing; round one mixes (hi, lo) into x, round two derives two
+sub-hashes OF x whose composition y * P + z lands in [0, P^2) ~
+2.75e11, so bit arrays up to ~2^38 bits are genuinely addressable
+(``_check_m`` enforces the cap). The second round is load-bearing, not
+belt-and-braces: ``_seeded_const`` is linear in its seed mod P, so any
+ONE-round family has constant seed-to-seed differences — and because
+P = 2^19 - 1 is ≡ -1 mod every power-of-two m <= 2^19, a one-round
+composition (g1 * P + g2) % m collapses to (g2 - g1) % m, i.e. all k
+probes of a key land on <= 2 distinct bits (measured FPR 6x designed).
+Routing the seed-varying second round through x makes positions
+quadratic in seed, restoring independence (pinned by
+test_bloom_per_key_positions_are_distinct). Words are 32-bit masks
 stored in int64 (no sign games — ``1 << bit`` with bit <= 31 stays
 positive in Spark and DuckDB alike), so the whole sketch is
 deterministically identical across engines, partitionings and merge
@@ -28,8 +42,10 @@ Scale shape:
   answer.
 
 Sizing: 10 bits/key, k=3 gives ~1.7% FPR — at 10^9 eval n-grams that is
-a 1.25 GB bit array versus ~8 GB (plus overhead) for the exact int64
-hash set, and the exact verify then touches ~2% of corpus n-grams.
+a 1.25 GB bit array (10^10 bits, well inside the 2.7e11-bit address
+space of the composed position hash) versus ~8 GB (plus overhead) for
+the exact int64 hash set, and the exact verify then touches ~2% of
+corpus n-grams.
 """
 
 from __future__ import annotations
@@ -40,7 +56,12 @@ from pyspark.sql import functions as F
 from go_html_transform_spark.operators.dedup import MINHASH_P
 from go_html_transform_spark.operators.sharding import _seeded_const
 
-BLOOM_SEEDS = (1001, 1002, 1003)  # one affine position hash per seed
+BLOOM_SEEDS = (1001, 1002, 1003)  # one composed position hash per seed
+_LO_BITS = 19  # key splits at 2^19 (just above MINHASH_P = 2^19 - 1)
+_LO_MASK = (1 << _LO_BITS) - 1
+_SUB_SEED_OFFSET = 467  # second sub-hash seed; keeps all sub-seeds distinct
+# positions live in [0, P^2): the hard addressability ceiling for m_bits
+_MAX_M_BITS = MINHASH_P * MINHASH_P
 
 # 1 << b for b in 0..31 as an exact int64 literal array — pyspark's
 # shiftleft wants a python-int shift amount, so bit masks come from a
@@ -55,28 +76,93 @@ def _bit_masks() -> Column:
 def _check_m(m_bits: int) -> None:
     # a partial trailing word would be silently dropped by the dense
     # fold, turning missing bits into false NEGATIVES — the one failure
-    # a bloom filter must never have
+    # a bloom filter must never have; and any m_bits past the position
+    # hash's P^2 address space would leave the tail permanently zero,
+    # silently concentrating probes in the low bits (FPR -> 1)
     if m_bits <= 0 or m_bits % 32:
         raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    if m_bits > _MAX_M_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the position hash address space "
+            f"P^2 = {_MAX_M_BITS}"
+        )
+
+
+def _check_k(k: int) -> None:
+    # silently truncating k to len(BLOOM_SEEDS) would deliver a higher
+    # FPR than the (1-e^(-kn/m))^k the caller designed for, with no signal
+    if not 1 <= k <= len(BLOOM_SEEDS):
+        raise ValueError(
+            f"k must be in [1, {len(BLOOM_SEEDS)}] (one seed per hash), got {k}"
+        )
+
+
+def _round_consts(seed: int) -> tuple[int, int, int, int, int, int, int]:
+    """(a1, a2, b1, a3, b2, a4, b3) for one seed's two-round position
+    hash: round one mixes x = (hi*a1 + lo*a2 + b1) % P; round two
+    derives y = (x*a3 + b2) % P and z = (x*a4 + b3) % P. All four
+    multiplier seeds are disjoint across BLOOM_SEEDS (offset spacing)."""
+    a1, b1 = _seeded_const(seed)
+    a2, _ = _seeded_const(seed + _SUB_SEED_OFFSET)
+    a3, b2 = _seeded_const(seed + 2 * _SUB_SEED_OFFSET)
+    a4, b3 = _seeded_const(seed + 3 * _SUB_SEED_OFFSET)
+    return a1, a2, b1, a3, b2, a4, b3
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit positions for a nonnegative int64 key (exact int64: key
-    folds through mod P first, so products stay < 2^38)."""
+    """k bit positions for a nonnegative int64 key. The full key is
+    hashed — (hi = key >> 19) mod P and (lo = key & 0x7ffff) mix into x
+    (every product < 2^38, exact in int64), then two second-round
+    hashes of x compose into y * P + z in [0, P^2), so positions cover
+    bit arrays up to ~2.7e11 bits with seed-independent probes (see
+    module docstring for why one round is not enough)."""
     _check_m(m_bits)
+    _check_k(k)
+    kl = key.cast("long")
+    hi = F.shiftright(kl, _LO_BITS) % MINHASH_P
+    lo = kl.bitwiseAND(F.lit(_LO_MASK))
+
     out = []
     for seed in BLOOM_SEEDS[:k]:
-        a, b = _seeded_const(seed)
-        out.append(((key.cast("long") % MINHASH_P) * a + b) % MINHASH_P % m_bits)
+        a1, a2, b1, a3, b2, a4, b3 = _round_consts(seed)
+        x = (hi * a1 + lo * a2 + b1) % MINHASH_P
+        y = (x * a3 + b2) % MINHASH_P
+        z = (x * a4 + b3) % MINHASH_P
+        out.append((y * MINHASH_P + z) % m_bits)
     return out
 
 
 def _positions_sql(key: str, m_bits: int, k: int) -> list[str]:
+    _check_m(m_bits)
+    _check_k(k)
+    kl = f"CAST({key} AS BIGINT)"
+    hi = f"(({kl} >> {_LO_BITS}) % {MINHASH_P})"
+    lo = f"({kl} & {_LO_MASK})"
+
     out = []
     for seed in BLOOM_SEEDS[:k]:
-        a, b = _seeded_const(seed)
-        out.append(f"((CAST({key} AS BIGINT) % {MINHASH_P}) * {a} + {b})"
-                   f" % {MINHASH_P} % {m_bits}")
+        a1, a2, b1, a3, b2, a4, b3 = _round_consts(seed)
+        x = f"(({hi} * {a1} + {lo} * {a2} + {b1}) % {MINHASH_P})"
+        y = f"(({x} * {a3} + {b2}) % {MINHASH_P})"
+        z = f"(({x} * {a4} + {b3}) % {MINHASH_P})"
+        out.append(f"(({y} * {MINHASH_P} + {z}) % {m_bits})")
+    return out
+
+
+def _positions_py(key: int, m_bits: int, k: int) -> list[int]:
+    """Pure-python twin (tests)."""
+    _check_m(m_bits)
+    _check_k(k)
+    hi = (key >> _LO_BITS) % MINHASH_P
+    lo = key & _LO_MASK
+
+    out = []
+    for seed in BLOOM_SEEDS[:k]:
+        a1, a2, b1, a3, b2, a4, b3 = _round_consts(seed)
+        x = (hi * a1 + lo * a2 + b1) % MINHASH_P
+        y = (x * a3 + b2) % MINHASH_P
+        z = (x * a4 + b3) % MINHASH_P
+        out.append((y * MINHASH_P + z) % m_bits)
     return out
 
 

@@ -12,31 +12,19 @@ from go_html_transform_spark.operators.dedup import MINHASH_P
 from go_html_transform_spark.operators.sharding import _seeded_const
 
 
-def _py_positions(h, m_bits=4096, k=3):
-    out = []
-    for seed in BL.BLOOM_SEEDS[:k]:
-        a, b = _seeded_const(seed)
-        out.append((h % MINHASH_P) * a % MINHASH_P * 1 % MINHASH_P)  # placeholder
-    return out
-
-
 def _py_words(keys, m_bits=4096, k=3):
     words = {}
     for h in keys:
-        for seed in BL.BLOOM_SEEDS[:k]:
-            a, b = _seeded_const(seed)
-            p = ((h % MINHASH_P) * a + b) % MINHASH_P % m_bits
+        for p in BL._positions_py(h, m_bits, k):
             words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
     return words
 
 
 def _py_contains(words, h, m_bits=4096, k=3):
-    for seed in BL.BLOOM_SEEDS[:k]:
-        a, b = _seeded_const(seed)
-        p = ((h % MINHASH_P) * a + b) % MINHASH_P % m_bits
-        if not words.get(p // 32, 0) & (1 << (p % 32)):
-            return False
-    return True
+    return all(
+        words.get(p // 32, 0) & (1 << (p % 32))
+        for p in BL._positions_py(h, m_bits, k)
+    )
 
 
 @pytest.fixture(scope="module")
@@ -141,3 +129,54 @@ def test_bloom_rejects_partial_word_m_bits(spark):
         BL.bloom_build(keys, "h", m_bits=1000)
     with pytest.raises(ValueError, match="multiple of 32"):
         BL.bloom_fold(BL.bloom_build(keys, "h"), m_bits=1000)
+
+
+def test_bloom_rejects_bad_k_and_oversized_m(spark):
+    """k beyond the seed list used to silently truncate to 3 hashes
+    (higher FPR than designed, no signal); m_bits past the P^2 position
+    address space would leave the tail permanently zero. Both fail fast."""
+    keys = spark.createDataFrame([(1,)], "h long")
+    with pytest.raises(ValueError, match="one seed per hash"):
+        BL.bloom_build(keys, "h", k=4)
+    with pytest.raises(ValueError, match="one seed per hash"):
+        BL.bloom_build(keys, "h", k=0)
+    too_big = (MINHASH_P * MINHASH_P // 32 + 1) * 32
+    with pytest.raises(ValueError, match="address space"):
+        BL.bloom_build(keys, "h", m_bits=too_big)
+    with pytest.raises(ValueError, match="one seed per hash"):
+        BL._positions_sql("h", 4096, 5)
+
+
+def test_bloom_positions_use_full_key_width(spark):
+    """The round-3 hash reduced keys mod P before hashing, capping every
+    position below P = 524287 — no bit above 2^19 could ever be set and
+    m_bits > P silently degraded to FPR ~ 1. The widened hash must (a)
+    place bits above P for a large array and (b) distinguish keys that
+    collide mod P."""
+    m_bits = 1 << 21  # 2 Mbit: 4x the old ceiling
+    rng = random.Random(7)
+    keys = [rng.randrange(MINHASH_P * MINHASH_P) for _ in range(2000)]
+    pos = [p for h in keys for p in BL._positions_py(h, m_bits, 3)]
+    assert max(pos) > MINHASH_P, "no position ever lands above the old P cap"
+    # spread: upper half of the array must receive its fair share
+    upper = sum(p >= m_bits // 2 for p in pos)
+    assert 0.4 < upper / len(pos) < 0.6
+    # keys equal mod P must hash differently (full key width used)
+    h1, h2 = 123, 123 + MINHASH_P
+    assert BL._positions_py(h1, m_bits, 3) != BL._positions_py(h2, m_bits, 3)
+    # per-key probe independence: a one-round composed hash collapsed to
+    # <=2 distinct positions per key at power-of-two m (P = 2^19-1 is -1
+    # mod 2^k so (g1*P+g2)%m = (g2-g1)%m, constant across seeds because
+    # _seeded_const is linear in seed) — the two-round hash must give 3
+    # distinct positions for essentially every key at both small and
+    # large m
+    for m in (4096, m_bits):
+        dup = sum(len(set(BL._positions_py(h, m, 3))) < 3 for h in keys)
+        assert dup <= 2, f"m={m}: {dup}/2000 keys have duplicate probe bits"
+    # spark twin agrees with python twin on the widened family
+    df = spark.createDataFrame([(h,) for h in keys[:64]], "h long")
+    got = df.select(
+        "h", F.array(*BL._positions(F.col("h"), m_bits, 3)).alias("ps")
+    ).collect()
+    for r in got:
+        assert list(r.ps) == BL._positions_py(r.h, m_bits, 3)
