@@ -75,10 +75,20 @@ def _queries_df(spark, queries: list[tuple[int, list[int]]]) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, token int")
 
 
-def _empty_result(spark, id_col: str, score_col: str, score_type: str):
+def _empty_result(
+    spark, id_col: str, score_col: str, score_type: str, id_type: str = "string"
+):
+    # id_type must mirror the non-empty path's id column: a hardcoded
+    # string id on the empty branch breaks unions and schema-sensitive
+    # consumers whenever the corpus ids are not strings
     return spark.createDataFrame(
-        [], f"query_id int, {id_col} string, {score_col} {score_type}, rank int"
+        [],
+        f"query_id int, {id_col} {id_type}, {score_col} {score_type}, rank int",
     )
+
+
+def _id_type(doc: DataFrame, id_col: str) -> str:
+    return doc.schema[id_col].dataType.simpleString()
 
 
 def bm25_topk(
@@ -100,7 +110,7 @@ def bm25_topk(
         F.sum(F.size(tokens_col)).cast("long").alias("t"),
     ).collect()[0]
     if stats["n"] is None or not int(stats["n"]) or stats["t"] is None or not int(stats["t"]):
-        return _empty_result(spark, id_col, "score", "double")
+        return _empty_result(spark, id_col, "score", "double", _id_type(doc, id_col))
     n_docs, total = int(stats["n"]), int(stats["t"])
     avgdl = total / n_docs
     q = _queries_df(spark, queries)
@@ -150,7 +160,9 @@ def bm25_int_topk(
         F.sum(F.size(tokens_col)).cast("long").alias("t"),
     ).collect()[0]
     if stats["n"] is None or not int(stats["n"]) or stats["t"] is None or not int(stats["t"]):
-        return _empty_result(spark, id_col, "score_milli", "long")
+        return _empty_result(
+            spark, id_col, "score_milli", "long", _id_type(doc, id_col)
+        )
     n_docs, total = int(stats["n"]), int(stats["t"])
     q = _queries_df(spark, queries)
     return _score_int_postings(post, q, n_docs, total, topk, id_col)
@@ -262,12 +274,22 @@ def bm25_topk_indexed(
     Identical results to ``bm25_int_topk`` on the indexed corpus: df is
     computed from the pruned postings, which hold EVERY posting of every
     probe token by the range-stats invariant."""
-    if n_docs <= 0 or total <= 0:
-        return _empty_result(spark, id_col, "score_milli", "long"), 0, len(
-            table.files()
-        )
-    probe_tokens = sorted({int(t) for _, toks in queries for t in toks})
     files_total = len(table.files())
+
+    def empty():
+        # mirror the at-rest postings' __doc type when any file exists;
+        # a never-written table has no schema to mirror, so fall back
+        files = table.files()
+        id_type = (
+            spark.read.parquet(files[0].path).schema["__doc"].dataType.simpleString()
+            if files
+            else "string"
+        )
+        return _empty_result(spark, id_col, "score_milli", "long", id_type)
+
+    if n_docs <= 0 or total <= 0:
+        return empty(), 0, files_total
+    probe_tokens = sorted({int(t) for _, toks in queries for t in toks})
     paths: list[str] = []
     seen: set[str] = set()
     for t in probe_tokens:
@@ -276,7 +298,7 @@ def bm25_topk_indexed(
                 seen.add(f.path)
                 paths.append(f.path)
     if not paths:
-        return _empty_result(spark, id_col, "score_milli", "long"), 0, files_total
+        return empty(), 0, files_total
     post = spark.read.parquet(*paths).filter(
         F.col("token").isin(probe_tokens)
     )

@@ -639,6 +639,21 @@ def streaming_interval_join(
     return l.join(r, cond, "inner").drop(r[key_col])
 
 
+def _has_streaming_aggregate(jplan) -> bool:
+    """True iff the analyzed logical plan contains an Aggregate node on
+    a streaming subtree (static aggregates under stream-static joins
+    don't count — they run append fine)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Aggregate" and node.isStreaming():
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str | None = None
 ) -> DataFrame:
@@ -651,8 +666,15 @@ def run_available_now(
     frame — so non-agg streams crashed unless the caller passed
     append explicitly.)"""
     if output_mode is None:
-        plan = stream_df._jdf.queryExecution().analyzed().toString()
-        output_mode = "complete" if "Aggregate" in plan else "append"
+        # walk the analyzed plan for a STREAMING Aggregate node — a
+        # substring test on the stringified plan also matches static
+        # subtrees of stream-static joins (or any name containing
+        # "Aggregate"), forcing complete mode Spark then rejects
+        output_mode = (
+            "complete"
+            if _has_streaming_aggregate(stream_df._jdf.queryExecution().analyzed())
+            else "append"
+        )
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

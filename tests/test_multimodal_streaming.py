@@ -149,6 +149,30 @@ def test_streaming_session_counts_match_batch(spark):
     assert [tuple(r) for r in g.collect()] == [tuple(r) for r in e.collect()]
 
 
+def test_default_mode_ignores_static_aggregate_subtree(spark):
+    """A stateless stream joined to a static DISTINCT/groupBy side must
+    default to append: the old detector substring-matched "Aggregate" in
+    the stringified plan, saw the static subtree's aggregate, forced
+    complete mode, and Spark rejected the query at start."""
+    stream = ST.stream_sequences(spark, SF_DIR)
+    static_dim = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source")
+        .distinct()
+        .withColumn("dim_flag", F.lit(1))
+    )
+    joined = stream.join(F.broadcast(static_dim), "source", "left")
+    assert not ST._has_streaming_aggregate(
+        joined._jdf.queryExecution().analyzed()
+    )
+    got = ST.run_available_now(joined, "static_agg_join")  # mode inferred
+    assert got.count() > 0
+    assert got.filter(F.col("dim_flag").isNull()).count() == 0
+    # and a genuinely aggregating stream still reads as one
+    agg = stream.groupBy("source").count()
+    assert ST._has_streaming_aggregate(agg._jdf.queryExecution().analyzed())
+
+
 def test_streaming_rule_counts(spark):
     stream = ST.stream_sequences(spark, SF_DIR)
     got = ST.run_available_now(

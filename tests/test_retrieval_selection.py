@@ -266,6 +266,22 @@ def test_bm25_empty_corpus_returns_empty(spark):
     assert R.bm25_topk(empty, [(0, [1])]).count() == 0
 
 
+def test_bm25_empty_corpus_schema_mirrors_id_type(spark):
+    """The empty branch must return the SAME id type as the non-empty
+    path (it used to hardcode string), so unions of the two branches and
+    schema-sensitive consumers never diverge on non-string ids."""
+    empty_long = spark.createDataFrame([], "doc_id bigint, tokens array<int>")
+    got = R.bm25_int_topk(empty_long, [(0, [1])])
+    assert got.schema["doc_id"].dataType.simpleString() == "bigint"
+    got2 = R.bm25_topk(empty_long, [(0, [1])])
+    assert got2.schema["doc_id"].dataType.simpleString() == "bigint"
+    # union with a non-empty result of the same corpus type must not raise
+    nonempty = spark.createDataFrame(
+        [(7, [1, 2, 1])], "doc_id bigint, tokens array<int>"
+    )
+    got.unionByName(R.bm25_int_topk(nonempty, [(0, [1])])).collect()
+
+
 def test_bm25_index_at_rest_prunes_and_matches(spark, docs, tmp_path):
     """The at-rest inverted index returns EXACTLY the in-memory
     integer-path result while reading a strict subset of the postings
