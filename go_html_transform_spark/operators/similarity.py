@@ -515,6 +515,51 @@ def pq_encode_cte_sql(
     """
 
 
+def ivfpq_encode_cte_sql(
+    k: int = 8, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64
+) -> str:
+    """DuckDB twin of ``ivfpq_encode`` with the seeded coarse codebook:
+    CTE chain ending in ``ipqp`` (vec_id, cid, pq_code). Requires the
+    caller's WITH to already define ``a`` (vec_id, cid — the seeded IVF
+    assignment, the sim_bucket_stats _IVF_ASSIGN_CTE) and ``c``
+    (cid, cvec — its centroid relation). Residuals, residual codebooks
+    (the ksub lowest-id vectors' residuals, the pq_codebooks convention)
+    and the argmin encode all mirror the Spark op order, so every double
+    is bit-identical."""
+    if ksub & (ksub - 1):
+        raise ValueError(f"ksub must be a power of two for the packed shift, got {ksub}")
+    bits = ksub.bit_length() - 1
+    ds = dim // m
+    sv = f"r.rvec[p.j*{ds}+1 : p.j*{ds}+{ds}]"
+    return f"""
+    ires AS (
+      SELECT e.vec_id, a2.cid,
+             list_transform(range({dim}),
+               i -> CAST(e.embedding[i+1] AS DOUBLE)
+                    - CAST(c2.cvec[i+1] AS DOUBLE)) AS rvec
+      FROM embeddings e
+      JOIN a a2 ON a2.vec_id = e.vec_id
+      JOIN c c2 ON c2.cid = a2.cid),
+    ipqc AS (
+      SELECT j, vec_id AS code, rvec[j*{ds}+1 : j*{ds}+{ds}] AS cvec
+      FROM ires CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+      WHERE vec_id < {ksub}),
+    ipqe AS (
+      SELECT vec_id, cid, j, code FROM (
+        SELECT r.vec_id, r.cid, p.j, p.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY r.vec_id, p.j
+                 ORDER BY {pq_l2sq_sql(sv, 'p.cvec')} ASC, p.code
+               ) AS rk
+        FROM ires r CROSS JOIN ipqc p
+      ) WHERE rk = 1),
+    ipqp AS (
+      SELECT vec_id, cid,
+             CAST(SUM(code * (1 << ({bits} * j))) AS INTEGER) AS pq_code
+      FROM ipqe GROUP BY vec_id, cid)
+    """
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -240,6 +240,48 @@ def ewma(
     return df.groupBy(partition_by).applyInPandas(fn, schema)
 
 
+def ewma_recurrence_sql(
+    value_col: str = "n_tok",
+    time_col: str = "event_time",
+    partition_by: str = "doc_id",
+    tiebreak_col: str = "event_id",
+    src: str = "seq",
+) -> str:
+    """DuckDB twin of ``ewma`` at alpha = 0.5: a recursive CTE that
+    replays pandas' ``ewm(adjust=True, ignore_na=False)`` state machine
+    step for step — old_wt halves (EXACT in binary floats), the update
+    ``(old_wt*avg + cur) / (old_wt + 1)`` mirrors pandas' op order and
+    its equal-value skip guard, so every intermediate double is
+    bit-identical and the output hash-matches with NO rounding. Only
+    alpha=0.5 is twinned (0.5 multiplies exactly; other alphas would
+    re-open one rounding per step to cross-engine drift). Requires the
+    caller's WITH to be RECURSIVE. Yields a relation
+    (tiebreak_col, <value_col>_ewma)."""
+    return f"""(
+      WITH RECURSIVE eobs AS (
+        SELECT {partition_by} AS pid, {tiebreak_col} AS tb,
+               CAST({value_col} AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY {partition_by}
+                                  ORDER BY {time_col}, {tiebreak_col}) AS rn
+        FROM {src}
+      ),
+      ew(pid, rn, avg, w) AS (
+        SELECT pid, 1, CAST(NULL AS DOUBLE), 1.0 FROM eobs WHERE rn = 1
+        UNION ALL
+        SELECT ew.pid, ew.rn + 1,
+               CASE WHEN ew.avg IS NULL THEN p.x
+                    WHEN ew.avg = p.x THEN ew.avg
+                    ELSE ((ew.w * 0.5) * ew.avg + p.x) / (ew.w * 0.5 + 1.0)
+               END,
+               CASE WHEN ew.avg IS NULL THEN 1.0
+                    ELSE ew.w * 0.5 + 1.0 END
+        FROM ew JOIN eobs p ON p.pid = ew.pid AND p.rn = ew.rn
+      )
+      SELECT e.tb AS {tiebreak_col}, ew.avg AS {value_col}_ewma
+      FROM ew JOIN eobs e ON e.pid = ew.pid AND e.rn = ew.rn
+    )"""
+
+
 def forward_fill(
     df: DataFrame,
     cols: list[str],

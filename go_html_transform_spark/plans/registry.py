@@ -455,25 +455,35 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_id,
                CAST(SUM(n_tok) OVER w AS BIGINT) AS n_tok_rsum3,
-               ROUND(AVG(n_tok) OVER w, 4) AS n_tok_rmean3
+               ROUND(AVG(n_tok) OVER w, 4) AS n_tok_rmean3,
+               (SELECT n_tok_ewma FROM {ewma} e
+                WHERE e.event_id = seq.event_id) AS n_tok_ewma
         FROM seq
         WINDOW w AS (PARTITION BY doc_id ORDER BY event_time, event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-        """
+        """.format(ewma=W.ewma_recurrence_sql())
     ),
 )
 def window_rolling_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling counts/sums over n_tok bounded at current row (leak-free)."""
-    from go_html_transform_spark.operators import window as W
-
+    """Rolling counts/sums over n_tok bounded at current row (leak-free),
+    plus the applyInPandas EWMA feature (operators/window.py:ewma,
+    alpha=0.5) — hash-checked UNROUNDED against a DuckDB recursive-CTE
+    replay of pandas' ewm state machine (bit-exact: 0.5 multiplies
+    exactly, every other step is one deterministic IEEE op both engines
+    share; see ewma_recurrence_sql)."""
     seq = S.sequences(spark, sf_dir)
     w = W.entity_window(order_by=["event_time", "event_id"])
     out = W.rolling(seq, "n_tok", 3, aggs=("sum", "mean"), w=w)
+    ew = W.ewma(
+        seq.select("doc_id", "event_time", "event_id", "n_tok"),
+        value_col="n_tok",
+        alpha=0.5,
+    ).select("event_id", "n_tok_ewma")
     return out.select(
         "event_id",
         "n_tok_rsum3",
         F.round("n_tok_rmean3", 4).alias("n_tok_rmean3"),
-    )
+    ).join(ew, "event_id")
 
 
 @register(
@@ -520,23 +530,50 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_forward_fill",
     _cte(
         """
-        SELECT event_id,
+        , rs_obs AS (
+            SELECT doc_id, CAST(epoch_us(event_time) AS BIGINT) AS t_us,
+                   0 AS is_tick, CAST(n_tok AS BIGINT) AS v
+            FROM seq),
+        rs_span AS (
+            SELECT doc_id, MIN(t_us) AS t0, MAX(t_us) AS t1
+            FROM rs_obs GROUP BY doc_id),
+        rs_ticks AS (
+            SELECT doc_id, unnest(generate_series(t0, t1, 3600000000)) AS t_us,
+                   1 AS is_tick, CAST(NULL AS BIGINT) AS v
+            FROM rs_span),
+        rs_f AS (
+            SELECT doc_id, t_us, is_tick,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY doc_id ORDER BY t_us, is_tick, v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+            FROM (SELECT * FROM rs_obs UNION ALL SELECT * FROM rs_ticks))
+        SELECT 'ffill' AS variant, CAST(event_id AS VARCHAR) AS k1,
+               CAST(NULL AS BIGINT) AS k2,
                ROUND(last_value(v IGNORE NULLS) OVER (
                    PARTITION BY doc_id ORDER BY event_time, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-                 AS value_ffill
+                 AS val
         FROM (
             SELECT event_id, doc_id, event_time,
                    CASE WHEN event_type = 'purchase' THEN value END AS v
             FROM seq
         )
+        UNION ALL
+        SELECT 'resample', doc_id, t_us, CAST(v AS DOUBLE)
+        FROM rs_f WHERE is_tick = 1
         """
     ),
 )
 def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward-fill: last purchase value at or before each event
-    (FirstMatch-fallback analogue, transform.go:30-39); event_id
-    tie-break for determinism."""
+    """Two backfill shapes in one hash-checked union:
+
+    * ffill — last purchase value at or before each event
+      (FirstMatch-fallback analogue, transform.go:30-39); event_id
+      tie-break for determinism.
+    * resample — regular-grid resample + forward-fill
+      (operators/window.py:resample_ffill): one tick per hour per doc
+      from its first to its last observation, carrying the latest n_tok
+      at-or-before each tick via the one-exchange union-window trick."""
     seq = S.sequences(spark, sf_dir).withColumn(
         "v", F.when(F.col("event_type") == "purchase", F.col("value"))
     )
@@ -547,10 +584,23 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_time", "event_id")
         .rowsBetween(_W.unboundedPreceding, 0)
     )
-    return seq.select(
-        "event_id",
-        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("value_ffill"),
+    ffill = seq.select(
+        F.lit("ffill").alias("variant"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("val"),
     )
+    rs = W.resample_ffill(
+        seq.select("doc_id", "event_time", "n_tok"),
+        value_cols=["n_tok"],
+        step_seconds=3600,
+    ).select(
+        F.lit("resample").alias("variant"),
+        F.col("doc_id").alias("k1"),
+        F.col("tick_us").alias("k2"),
+        F.col("n_tok").cast("double").alias("val"),
+    )
+    return ffill.unionByName(rs)
 
 
 @register(

@@ -405,13 +405,20 @@ from go_html_transform_spark.operators.similarity import (
 # pq_encode_cte_sql returns "pqc AS (...), pqe AS (...)" — strip for WITH
 _PQ_ENCODE_CTE = _pq_sql(m=4, ksub=16, dim=64).strip()
 
+from go_html_transform_spark.operators.similarity import (
+    ivfpq_encode_cte_sql as _ivfpq_sql,
+)
+
+_IVFPQ_ENCODE_CTE = _ivfpq_sql(k=8, m=4, ksub=16, dim=64).strip()
+
 
 @register(
     "sim_bucket_stats",
     f"""
     WITH {_IVF_ASSIGN_CTE},
     {_LLOYD_BODY},
-    {_PQ_ENCODE_CTE}
+    {_PQ_ENCODE_CTE},
+    {_IVFPQ_ENCODE_CTE}
     SELECT 'ivf' AS variant, CAST(cid AS INTEGER) AS bucket, COUNT(*) AS n
     FROM a GROUP BY cid
     UNION ALL
@@ -426,6 +433,10 @@ _PQ_ENCODE_CTE = _pq_sql(m=4, ksub=16, dim=64).strip()
     SELECT 'pq' AS variant, CAST(j * 16 + code AS INTEGER) AS bucket,
            COUNT(*) AS n
     FROM pqe GROUP BY 1, 2
+    UNION ALL
+    SELECT 'ivfpq' AS variant,
+           CAST(cid * 65536 + pq_code AS INTEGER) AS bucket, COUNT(*) AS n
+    FROM ipqp GROUP BY 1, 2
     """,
 )
 def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,7 +506,24 @@ def sim_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return ivf.unionByName(lsh).unionByName(lloyd).unionByName(pq)
+    enc, _books = SIM.ivfpq_encode(emb, cents)
+    ivfpq = (
+        enc.groupBy("centroid_id", "pq_code")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("ivfpq").alias("variant"),
+            (F.col("centroid_id") * 65536 + F.col("pq_code"))
+            .cast("int")
+            .alias("bucket"),
+            "n",
+        )
+    )
+    return (
+        ivf.unionByName(lsh)
+        .unionByName(lloyd)
+        .unionByName(pq)
+        .unionByName(ivfpq)
+    )
 
 
 @register(

@@ -254,6 +254,24 @@ def _simhash_bands_sql(max_hamming: int = 2) -> str:
                    a.sh AS sa, b.sh AS sb
             FROM sbands a JOIN sbands b
               ON a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        vpairs AS (
+            SELECT id_a, id_b FROM mcand
+            WHERE CAST(len(list_intersect(ua, ub)) AS DOUBLE)
+                  / (len(ua) + len(ub) - len(list_intersect(ua, ub))) >= 0.9
+        ),
+        cedges AS (
+            SELECT id_a AS s, id_b AS d FROM vpairs
+            UNION
+            SELECT id_b, id_a FROM vpairs
+        ),
+        creach(node, lbl) AS (
+            SELECT s, s FROM cedges
+            UNION
+            SELECT e.d, r.lbl FROM creach r JOIN cedges e ON e.s = r.node
+        ),
+        ccomp AS (
+            SELECT node, MIN(lbl) AS component FROM creach GROUP BY node
         )
         SELECT 'minhash_jaccard' AS variant, id_a, id_b,
                {D.jaccard_ppm_sql('ua', 'ub')} AS score
@@ -265,6 +283,15 @@ def _simhash_bands_sql(max_hamming: int = 2) -> str:
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS score
         FROM scand
         WHERE bit_count(xor(sa, sb)) <= 2
+        UNION ALL
+        SELECT 'cc_minhash' AS variant, node AS id_a, component AS id_b,
+               CAST(NULL AS BIGINT) AS score
+        FROM ccomp
+        UNION ALL
+        SELECT 'keep_minhash' AS variant, doc_id AS id_a,
+               CAST(NULL AS VARCHAR) AS id_b, CAST(NULL AS BIGINT) AS score
+        FROM doc
+        WHERE doc_id NOT IN (SELECT node FROM ccomp WHERE node <> component)
         """
     ),
 )
@@ -282,9 +309,18 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     * simhash_hamming — pigeonhole bands over the 16-bit SimHash
       (3 bands: any Hamming<=2 pair shares >=1 exact band), candidates
       verified by true bit_count(xor) (score = hamming distance).
+    * cc_minhash — connected components over the verified minhash pairs
+      (operators/dedup.py:connected_components, hash-min label
+      propagation with pointer jumping): id_a = node, id_b = its
+      component label (min doc_id in the component) — hash-checked
+      against a DuckDB recursive-CTE transitive closure.
+    * keep_minhash — the terminal keep-canonical set
+      (near_dedup_keep_canonical): every doc surviving near-dedup (the
+      min-id member of each dup cluster plus all unpaired docs).
     """
     doc = S.documents_tokenized(spark, sf_dir)
-    mh = D.minhash_near_duplicates(doc, "doc_id", threshold=0.9).select(
+    mh_pairs = D.minhash_near_duplicates(doc, "doc_id", threshold=0.9)
+    mh = mh_pairs.select(
         F.lit("minhash_jaccard").alias("variant"),
         "id_a",
         "id_b",
@@ -296,7 +332,22 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("long").alias("score"),
     )
-    return mh.unionByName(sh)
+    pairs_only = mh_pairs.select("id_a", "id_b").persist()
+    cc = D.connected_components(pairs_only).select(
+        F.lit("cc_minhash").alias("variant"),
+        F.col("node").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("long").alias("score"),
+    )
+    keep = D.near_dedup_keep_canonical(
+        doc.select("doc_id"), pairs_only, "doc_id"
+    ).select(
+        F.lit("keep_minhash").alias("variant"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("string").alias("id_b"),
+        F.lit(None).cast("long").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(cc).unionByName(keep)
 
 
 # ---------------------------------------------------------------------------

@@ -207,9 +207,11 @@ def labels_sql(sf_dir: str) -> str:
 
 
 def with_cte(body_sql: str, sf_dir: str) -> str:
-    """Wrap an oracle query body with the standard CTEs (seq, lab, doc)."""
+    """Wrap an oracle query body with the standard CTEs (seq, lab, doc).
+    RECURSIVE so bodies may append recursive CTEs (connected components,
+    EWMA state recurrences) — harmless for non-recursive ones."""
     return f"""
-        WITH seq AS ({sequences_sql(sf_dir)}),
+        WITH RECURSIVE seq AS ({sequences_sql(sf_dir)}),
              lab AS ({labels_sql(sf_dir)}),
              doc AS ({documents_tokenized_sql(sf_dir)})
         {body_sql}
