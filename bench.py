@@ -23,7 +23,77 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _wait_quiet(max_wait: float, load_thresh: float) -> float:
+    """Block until the box's 1-min load (ambient — nothing of ours is
+    running yet / between attempts) drops under ``load_thresh``, up to
+    ``max_wait`` seconds. The shared VM's other tenants produce load
+    spikes of 10-25 that poison a window (BENCH_r03 was captured at
+    load 19 and read as a 16% regression that two quiet reruns showed
+    was ambient). Returns the load it proceeded at."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < load_thresh or time.time() - t0 >= max_wait:
+            if load1 >= load_thresh:
+                print(
+                    f"# bench: still loaded ({load1:.1f}) after "
+                    f"{max_wait:.0f}s wait, proceeding",
+                    file=sys.stderr,
+                )
+            return load1
+        time.sleep(15)
+
+
 def main() -> None:
+    """Quiet-gated driver entry: wait for an idle window, run the bench,
+    and if the window turns out contaminated (hypervisor steal >=1% of
+    busy jiffies, or ambient load >=2 at window start) retry up to
+    SPARK_GRAFT_QUIET_RETRIES times, emitting the first clean result —
+    else the least-contaminated attempt flagged window_contaminated."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    load_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "1"))
+    attempts: list[dict] = []
+    for i in range(retries + 1):
+        _wait_quiet(max_wait, load_thresh)
+        result = _run_once()
+        e = result["env"]
+        contamination = e["steal_pct_of_busy"] + max(
+            0.0, e["load_start"][0] - load_thresh
+        )
+        clean = e["steal_pct_of_busy"] < 1.0 and e["load_start"][0] < load_thresh
+        attempts.append(
+            {
+                "attempt": i,
+                "clean": clean,
+                "steal_pct_of_busy": e["steal_pct_of_busy"],
+                "load_start": e["load_start"][0],
+                "full_pipeline": result["queries"]["full_pipeline"],
+                "_contamination": contamination,
+                "_result": result,
+            }
+        )
+        print(
+            f"# bench attempt {i}: steal={e['steal_pct_of_busy']} "
+            f"load_start={e['load_start'][0]} "
+            f"full={result['queries']['full_pipeline']} clean={clean}",
+            file=sys.stderr,
+        )
+        if clean:
+            break
+    best = min(
+        attempts,
+        key=lambda a: (not a["clean"], a["_contamination"], a["full_pipeline"]),
+    )
+    result = best["_result"]
+    result["window_contaminated"] = not best["clean"]
+    result["env"]["attempts"] = [
+        {k: v for k, v in a.items() if not k.startswith("_")} for a in attempts
+    ]
+    print(json.dumps(result))
+
+
+def _run_once() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -302,8 +372,8 @@ def main() -> None:
         "stage_tasks": stage_tasks,
         "env": env_block(),
     }
-    print(json.dumps(result))
     spark.stop()
+    return result
 
 
 if __name__ == "__main__":
