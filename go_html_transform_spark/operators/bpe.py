@@ -102,6 +102,92 @@ def bpe_apply(
     return df.mapInPandas(run, schema=schema)
 
 
+def sample_corpus(
+    df: DataFrame,
+    sample_rows: int,
+    key_cols: list[str],
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic hash-threshold sample of ~``sample_rows`` rows:
+    keep rows whose xxhash64(key) lands under the ppm threshold
+    sample_rows/corpus_rows. Layout- and partitioning-independent (the
+    keep set is a pure function of the key), and fully parallel — no
+    orderBy+limit funnel through one partition, so it is the shape that
+    survives a 10^12-row corpus (the _sample_vectors orderBy+limit
+    pattern is for KB-sized driver pulls; here the sample stays a
+    distributed frame). If ``corpus_rows`` is not passed it costs one
+    columnar count pass."""
+    if corpus_rows is None:
+        corpus_rows = df.count()
+    if corpus_rows <= sample_rows:
+        return df
+    ppm = int(1_000_000 * sample_rows / corpus_rows)
+    key = F.xxhash64(*[F.col(c) for c in key_cols])
+    return df.filter(F.pmod(key, F.lit(1_000_000)) < F.lit(max(1, ppm)))
+
+
+def bpe_train_sampled(
+    df: DataFrame,
+    num_merges: int,
+    tokens_col: str = "tokens",
+    key_cols: list[str] | None = None,
+    sample_rows: int = 100_000,
+    corpus_rows: int | None = None,
+    batch: int = 1,
+    min_count: int = 2,
+    checkpoint_every: int = 1,
+    round_sizes: list[int] | None = None,
+    apply_to_corpus: bool = True,
+) -> tuple[list[tuple[int, int, int]], DataFrame]:
+    """Scale path for BPE training: learn the merge table on a
+    deterministic bounded sample, then apply it to the FULL corpus in
+    one mapInPandas pass. ``bpe_train`` is one full corpus pass PER
+    COUNT ROUND — a production 32k-merge vocabulary over 10^12 rows is
+    thousands of corpus passes; here every round touches only the
+    ~``sample_rows``-row sample (persisted once), and the corpus pays
+    exactly one sampling filter plus one merge-apply pass. min_count is
+    scaled down by the sampling fraction so the early-stop threshold
+    means the same corpus frequency. New token ids still start above
+    the FULL corpus max (one agg) so they can never collide with ids
+    the sample missed. checkpoint_every defaults to 1 here (vs 4 for
+    the full-corpus trainer): the sample is small enough that an eager
+    materialization per round is cheap, and it bounds every count round
+    to exactly ONE python apply pass instead of a growing mapInPandas
+    chain. Fidelity is a fixture-pinned property (sampled
+    merges == full-corpus merges when pair frequencies are separated
+    beyond sampling noise, tests/test_bpe.py) — the standard
+    train-on-a-slice BPE tradeoff, not an approximation of apply."""
+    if key_cols is None:
+        key_cols = [tokens_col]
+    # one corpus pass for both setup scalars (id ceiling + row count)
+    row = df.select(
+        F.coalesce(F.max(F.array_max(F.col(tokens_col))), F.lit(-1)).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    next_id = int(row["m"]) + 1
+    if corpus_rows is None:
+        corpus_rows = int(row["n"])
+    sample = sample_corpus(df, sample_rows, key_cols, corpus_rows=corpus_rows)
+    frac = min(1.0, sample_rows / max(1, corpus_rows))
+    eff_min = max(2, int(min_count * frac))
+    sample = sample.persist()
+    try:
+        merges, _trained = bpe_train(
+            sample,
+            num_merges,
+            tokens_col=tokens_col,
+            batch=batch,
+            next_id=next_id,
+            min_count=eff_min,
+            checkpoint_every=checkpoint_every,
+            round_sizes=round_sizes,
+        )
+    finally:
+        sample.unpersist()
+    out = bpe_apply(df, merges, tokens_col) if apply_to_corpus else df
+    return merges, out
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int,

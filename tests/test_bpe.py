@@ -137,6 +137,89 @@ def test_bpe_apply_preserves_null_token_arrays(spark):
     assert got[1] is None
 
 
+@pytest.fixture(scope="module")
+def separated_corpus(spark):
+    """Pair frequencies separated far beyond 50%-sampling noise: any
+    hash sample of ~half the rows preserves the full-corpus pair
+    ranking, so sample-trained merges must equal full-corpus merges."""
+    rows = []
+    i = 0
+    for toks, reps in (
+        ([1, 2, 1, 2, 1, 2, 1, 2], 400),
+        ([3, 4, 3, 4], 150),
+        ([5, 6, 5, 6], 50),
+    ):
+        for _ in range(reps):
+            rows.append((i, list(toks)))
+            i += 1
+    return spark.createDataFrame(rows, "id long, tokens array<int>")
+
+
+def test_bpe_sampled_matches_full_on_separated_fixture(spark, separated_corpus):
+    """The scale path (train on a deterministic hash sample, apply to
+    the full corpus) learns the SAME merge table as full-corpus
+    training when pair frequencies are separated beyond sampling noise
+    — the fidelity contract of bpe_train_sampled."""
+    full_merges, _ = B.bpe_train(separated_corpus, 4, batch=1)
+    sizes: list[int] = []
+    s_merges, out = B.bpe_train_sampled(
+        separated_corpus,
+        4,
+        key_cols=["id"],
+        sample_rows=350,  # ~half the 700 rows
+        batch=1,
+        round_sizes=sizes,
+    )
+    assert s_merges == full_merges
+    assert sum(sizes) == len(s_merges)
+    # and the corpus output is exactly bpe_apply(full corpus, merges)
+    ref = {
+        r.id: (None if r.tokens is None else B._apply_merges_row(list(r.tokens), s_merges))
+        for r in separated_corpus.collect()
+    }
+    got = {r.id: list(r.tokens) for r in out.collect()}
+    assert got == ref
+
+
+def test_bpe_sampled_is_exact_when_sample_covers_corpus(spark, corpus, corpus_rows):
+    """sample_rows >= corpus rows degrades to exact bpe_train (same
+    merges, same next_id allocation from the corpus max)."""
+    ref_merges, _ = B.bpe_train(corpus, 5, batch=1, next_id=12)
+    s_merges, _ = B.bpe_train_sampled(
+        corpus, 5, key_cols=["id"], sample_rows=10_000, batch=1
+    )
+    assert s_merges == ref_merges
+
+
+def test_bpe_sampled_layout_independent(spark, separated_corpus):
+    """The hash-threshold sample is a pure function of the key, so the
+    learned table is identical under any partitioning."""
+    m1, _ = B.bpe_train_sampled(
+        separated_corpus, 3, key_cols=["id"], sample_rows=350,
+        apply_to_corpus=False,
+    )
+    m2, _ = B.bpe_train_sampled(
+        separated_corpus.repartition(13), 3, key_cols=["id"], sample_rows=350,
+        apply_to_corpus=False,
+    )
+    assert m1 == m2
+
+
+def test_sample_corpus_threshold_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, [i % 5]) for i in range(1000)], "id long, tokens array<int>"
+    )
+    s = B.sample_corpus(df, 200, ["id"])
+    n = s.count()
+    assert 100 <= n <= 320  # ~200 expected, binomial noise
+    ids1 = sorted(r.id for r in s.collect())
+    ids2 = sorted(r.id for r in B.sample_corpus(df.repartition(7), 200, ["id"]).collect())
+    assert ids1 == ids2
+    # sample of a superset corpus is a superset-consistent keep set:
+    # membership is a pure function of (key, threshold)
+    assert B.sample_corpus(df, 2000, ["id"]).count() == 1000
+
+
 def test_bpe_train_tolerates_null_arrays(spark):
     df = spark.createDataFrame(
         [(0, [1, 2, 1, 2]), (1, None), (2, [1, 2])],

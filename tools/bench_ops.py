@@ -348,6 +348,15 @@ def main() -> None:
 
     timed("bpe_1round_8merges", n_doc_big, run_bpe, iters=1)
 
+    def run_bpe_sampled() -> None:
+        merges, out = BPE.bpe_train_sampled(
+            doc_big.select("doc_id", "tokens"), num_merges=8,
+            key_cols=["doc_id"], sample_rows=50_000, batch=8,
+        )
+        drain(out)
+
+    timed("bpe_sampled_1round_8merges", n_doc_big, run_bpe_sampled, iters=1)
+
     # --- end-to-end corpus preparation (raw corpus: the near-dup stage's
     # pair structure is corpus-shaped, see replication policy note) -------
     from go_html_transform_spark.plans.prepare import prepare_training_corpus
