@@ -318,11 +318,20 @@ def transform_child_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PIPELINE_SHEET = """
+/* registry: rule-file-driven pipeline (document order says append
+   first, but the class rule outranks it on specificity — the sorted
+   fold is what the oracle pins) */
+t982 { append: 2001; }
+t756.src1 { map: 756 -> 757; }
+"""
+
+
 @register(
     "transform_pipeline_two_rules",
     _cte(
         """
-        SELECT event_id,
+        SELECT 'apply_all' AS variant, event_id,
                array_to_string(
                  CASE WHEN list_contains(
                         CASE WHEN list_contains(tokens, 982)
@@ -334,21 +343,51 @@ def transform_child_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN list_append(tokens, 1001) ELSE tokens END
                  END, ',') AS tokens_csv
         FROM seq
+        UNION ALL
+        SELECT 'stylesheet', event_id,
+               array_to_string(
+                 CASE WHEN list_contains(m, 982)
+                      THEN list_append(m, 2001) ELSE m END, ',') AS tokens_csv
+        FROM (
+          SELECT event_id,
+                 CASE WHEN source = 'src1' AND list_contains(tokens, 756)
+                      THEN list_transform(tokens,
+                             t -> CASE WHEN t = 756 THEN 757 ELSE t END)
+                      ELSE tokens END AS m
+          FROM seq)
         """
     ),
 )
 def transform_pipeline_two_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ApplyAll ordered fold (transform.go:149-155): rule 2 sees rule 1's
-    output (second append fires exactly on rows the first touched)."""
+    """Two pipeline frontends, both hash-checked:
+
+    * apply_all — ApplyAll ordered fold (transform.go:149-155): rule 2
+      sees rule 1's output (second append fires exactly on rows the
+      first touched).
+    * stylesheet — the SAME fold driven from a declarative rule FILE
+      (plans/stylesheet.py, the css/data.go:29-32 Ruleset analogue):
+      parsed, compiled, and priority-sorted (the class rule outranks
+      the bare tag despite document order), so the oracle pins the
+      whole parse -> compile -> sort -> fold path."""
     from go_html_transform_spark.plans.pipeline import Transform
+    from go_html_transform_spark.plans.stylesheet import apply_stylesheet
 
     seq = S.sequences(spark, sf_dir)
     t1 = Transform.parse("t982", lambda t, p: X.append_children(t, [1001]))
     t2 = Transform.parse("t1001", lambda t, p: X.append_children(t, [1002]))
     tr = Transformer(seq).apply_all(t1, t2)
-    return tr.df.select(
-        "event_id", F.concat_ws(",", F.col("tokens")).alias("tokens_csv")
+    a = tr.df.select(
+        F.lit("apply_all").alias("variant"),
+        "event_id",
+        F.concat_ws(",", F.col("tokens")).alias("tokens_csv"),
     )
+    sheet = apply_stylesheet(Transformer(seq), _PIPELINE_SHEET)
+    b = sheet.df.select(
+        F.lit("stylesheet").alias("variant"),
+        "event_id",
+        F.concat_ws(",", F.col("tokens")).alias("tokens_csv"),
+    )
+    return a.unionByName(b)
 
 
 @register(
