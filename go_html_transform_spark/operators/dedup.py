@@ -501,6 +501,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 30,
+    rounds: list[int] | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in the pair list, where
     component = min node id in its connected component — hash-min label
@@ -521,7 +522,9 @@ def connected_components(
     both joins read only MATERIALIZED frames (no recompute), and
     convergence is read from an Observation on the same job that
     materializes the round — no extra comparison join, no driver-side
-    graph materialization ever."""
+    graph materialization ever. If ``rounds`` is passed, the per-round
+    changed-label counts are appended to it (len == rounds executed —
+    the O(log diameter) bound is pinned by a 1k-node-chain test)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -584,6 +587,8 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         labels = new_labels
+        if rounds is not None:
+            rounds.append(int(obs.get["changed"]))
         if not obs.get["changed"]:
             break
     else:

@@ -404,16 +404,24 @@ def test_connected_components_vs_union_find(spark):
 
 
 def test_connected_components_long_chain_logarithmic(spark):
-    """A 201-node chain (the templated-boilerplate adversarial shape)
-    converges inside the default round cap: pointer jumping reaches
-    distance 2^t - 1 after t rounds, so diameter 200 needs ~9 rounds —
-    plain hash-min would need 200 and blow the max_iters=30 cap."""
+    """A 1000-node chain (the templated-boilerplate adversarial shape)
+    converges in O(log n) ROUNDS, pinned exactly: pointer jumping
+    reaches distance 2^t - 1 after t rounds, so diameter 999 needs
+    ceil(log2(1000)) = 10 propagation rounds (plus the final all-stable
+    round that proves convergence) — plain hash-min would need 999 and
+    blow the max_iters=30 cap."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
     )
-    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
-    assert len(got) == 201
+    rounds: list[int] = []
+    got = {
+        r.node: r.component
+        for r in D.connected_components(pairs, rounds=rounds).collect()
+    }
+    assert len(got) == 1000
     assert set(got.values()) == {0}
+    assert len(rounds) <= 14  # O(log n), not O(n)
+    assert rounds[-1] == 0  # last round observed a fixed point
 
 
 def test_connected_components_nonconvergence_raises(spark):
