@@ -168,6 +168,20 @@ def _asof_union(
     u = r_side.unionByName(l_side)
 
     t = F.col("__time").cast("timestamp").cast("double")
+    # Pack (time, side-tag) into ONE long sort key: micros * 2 + tag.
+    # Spark's sort only radix/prefix-compares the FIRST order column's
+    # 8-byte prefix; with (__time, __is_r, __p) every equal-prefix pair
+    # fell through to the full row comparator (timestamp ties across the
+    # tagged union are the COMMON case — every left row shares a prefix
+    # bucket with its right neighbors at micro granularity). The packed
+    # key resolves time AND side in the prefix, so the comparator chain
+    # (and the struct comparator on __p) only runs on true duplicate
+    # (key, time, side) rows. Epoch micros fit 51 bits; * 2 is safe.
+    # NULL times sort first under the packed key exactly as they did
+    # under __time asc.
+    ts_us = F.unix_micros(F.col("__time").cast("timestamp"))
+    r_first = (~F.col("__is_r")).cast("long")  # right rows before left
+    l_first = F.col("__is_r").cast("long")  # left rows before right
     matched_cols = {}
     # Final sort key __p replaces the right-side pre-dedupe ENTIRELY for
     # this strategy: among duplicate right (key, time) rows, last() under
@@ -175,18 +189,18 @@ def _asof_union(
     # max payload — the same winner _dedupe_right materializes for the
     # cogroup/bucketed strategies, but with ZERO extra shuffle.
     if direction in ("backward", "nearest"):
-        r_order = F.col("__is_r").desc() if allow_exact_matches else F.col("__is_r").asc()
+        tag = r_first if allow_exact_matches else l_first
         wb = (
             Window.partitionBy(on)
-            .orderBy(F.col("__time").asc(), r_order, F.col("__p").asc())
+            .orderBy((ts_us * 2 + tag).asc(), F.col("__p").asc())
             .rowsBetween(Window.unboundedPreceding, 0 if allow_exact_matches else -1)
         )
         matched_cols["__b"] = F.last("__p", ignorenulls=True).over(wb)
     if direction in ("forward", "nearest"):
-        r_order = F.col("__is_r").asc() if allow_exact_matches else F.col("__is_r").desc()
+        tag = l_first if allow_exact_matches else r_first
         wf = (
             Window.partitionBy(on)
-            .orderBy(F.col("__time").asc(), r_order, F.col("__p").desc())
+            .orderBy((ts_us * 2 + tag).asc(), F.col("__p").desc())
             .rowsBetween(0 if allow_exact_matches else 1, Window.unboundedFollowing)
         )
         matched_cols["__f"] = F.first("__p", ignorenulls=True).over(wf)
