@@ -150,6 +150,55 @@ def train_logistic_hashed(
     return w, b
 
 
+def hash_weights(
+    n: int = DSIR_BUCKETS, mult: int = 2654435761, span: int = 1000
+) -> list[float]:
+    """Deterministic fixed weight vector for oracle-checked scoring:
+    w[i] = ((i * mult) % span - span/2) / span — exactly reproducible as
+    an inline SQL expression (integer ops then ONE double division), so
+    the DuckDB twin never materializes the array."""
+    return [((i * mult) % span - span // 2) / span for i in range(n)]
+
+
+def score_hashed_cte_sql(
+    rel: str = "doc",
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+    mult: int = 2654435761,
+    span: int = 1000,
+    bias: float = 0.25,
+) -> str:
+    """DuckDB twin of ``score_logistic_hashed`` with ``hash_weights``:
+    CTE chain ending in ``clf_sc`` (id, quality_logit). Mirrors the op
+    order exactly — w*x as doubles, (w*x)*1e6 rounded HALF-AWAY-FROM-
+    ZERO (verified identical tie rule both engines) to int64, exact sum,
+    /1e6 + bias — so every double is bit-identical. Docs with no bigram
+    (len < 2) are restored by the caller's LEFT JOIN + COALESCE(bias)."""
+    from go_html_transform_spark.operators.selection import (
+        DSIR_A,
+        DSIR_B,
+        DSIR_P,
+    )
+
+    w = f"(({{b}} * {mult}) % {span} - {span // 2}) / {span}.0"
+    return f"""
+    clf_feat AS (
+      SELECT {id_col}, nb,
+             (toks[i + 1] * {DSIR_A} + toks[i + 2] * {DSIR_B})
+               % {DSIR_P} % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT {id_col}, {tokens} AS toks,
+                   GREATEST(len({tokens}) - 1, 1) AS nb FROM {rel}),
+           unnest(range(len(toks) - 1)) AS r(i)),
+    clf_sc AS (
+      SELECT {id_col},
+             SUM(CAST(ROUND(({w.format(b='bucket')}) * (cnt / nb) * {MICRO}, 0)
+                      AS BIGINT)) / {MICRO} + {bias} AS quality_logit
+      FROM (SELECT {id_col}, nb, bucket, COUNT(*) AS cnt
+            FROM clf_feat GROUP BY 1, 2, 3)
+      GROUP BY {id_col})
+    """
+
+
 def score_logistic_hashed(
     doc: DataFrame,
     weights: list[float],

@@ -17,6 +17,7 @@ from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.functions import tokenize as TK
 from go_html_transform_spark.operators import bloom as BL
 from go_html_transform_spark.operators import boilerplate as BP
+from go_html_transform_spark.operators import classifier as CLF
 from go_html_transform_spark.operators import decontaminate as DC
 from go_html_transform_spark.operators import dedup as D
 from go_html_transform_spark.operators import packing as PK
@@ -40,7 +41,9 @@ from go_html_transform_spark.sources import tables as S
         f"""
         , {BP.remove_boilerplate_ctes('doc')}
         , {SK.distinctive_tokens_ctes('doc')}
+        , {CLF.score_hashed_cte_sql('doc').strip()}
         SELECT doc_id,
+               ROUND(COALESCE(quality_logit, 0.25), 6) AS clf_logit,
                {TX.lang_id_sql()} AS lang_pred,
                {TX.quality_score_ppm_sql()} AS quality_ppm,
                len({TX.words_sql()}) AS ws_tokens,
@@ -57,6 +60,7 @@ from go_html_transform_spark.sources import tables as S
                {RD.pii_hits_sql('text')} AS pii_hits,
                CAST(length({RD.redact_pii_sql('text')}) AS INTEGER) AS red_len
         FROM bp_clean LEFT JOIN tk_csv USING (doc_id)
+                      LEFT JOIN clf_sc USING (doc_id)
         """
     ),
 )
@@ -89,6 +93,13 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (functions/repetition.py): duplicate n-gram fraction and top
       n-gram mass over the token array, exact integer ppm, row-local
       sorted-run decomposition — ZERO shuffle, ZERO UDF.
+    * clf_logit — the hashed-bigram logistic quality scorer
+      (operators/classifier.py:score_logistic_hashed) with the
+      deterministic hash_weights vector: the SCORING path is oracle
+      hash-checked bit-exact (fixed-point int64 margins, verified-
+      identical ROUND tie rule); TRAINING stays pytest-pinned (exact
+      layout invariance + planted-signal separation) since GD replay is
+      not SQL-shaped.
     * pii_hits / red_len — PII-pattern redaction (functions/redact.py):
       url/email/ipv4/digit-run placeholders via a sequential
       regexp_replace chain in the shared Java-regex/RE2 dialect; hit
@@ -96,11 +107,16 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       is PII-free, so pii_hits == 0 and red_len == n_chars are PINNED —
       the planted-PII behavior is pinned by tests/test_redact.py).
     """
-    doc = SK.distinctive_tokens(S.documents_tokenized(spark, sf_dir), k=5)
+    base = S.documents_tokenized(spark, sf_dir)
+    doc = SK.distinctive_tokens(base, k=5)
     clean = BP.remove_boilerplate(doc, "text", out_col="__clean")
     clean = REP.with_repetition(REP.with_repetition(clean, "tokens", 2), "tokens", 3)
-    return clean.select(
+    clf = CLF.score_logistic_hashed(
+        base.select("doc_id", "tokens"), CLF.hash_weights(), bias=0.25
+    ).select("doc_id", F.round("quality_logit", 6).alias("clf_logit"))
+    return clean.join(clf, "doc_id").select(
         "doc_id",
+        "clf_logit",
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.quality_score_ppm(F.col("text")).alias("quality_ppm"),
         TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -664,6 +680,28 @@ _BLOOM_DOC_SQL = f"""
         SELECT 'bloom_doc', CAST(doc_id[2:] AS INTEGER),
                CAST(n_candidates AS INTEGER), n_exact
         FROM ({_BLOOM_DOC_SQL})
+        UNION ALL
+        SELECT 'pack', CAST(doc_id[2:] AS INTEGER), shard, tok_before
+        FROM ({PK.pack_assign_sql(
+            'doc_key', 'n_tok', 256,
+            src="(SELECT doc_id, doc_key, n_tok, "
+                + SH.assign_shards_sql('doc_key', 8)
+                + " AS shard FROM doc)")})
+        UNION ALL
+        SELECT 'decon', CAST(doc_id[2:] AS INTEGER),
+               CAST(NULL AS INTEGER), CAST(n_tok AS BIGINT)
+        FROM doc
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       unnest({DC.ngram_hashes_sql('tokens', 13)}) AS ng
+                FROM doc)
+            WHERE ng IN (SELECT unnest({DC.ngram_hashes_sql('tokens', 13)})
+                         FROM doc WHERE doc_key % 41 = 0))
+        UNION ALL
+        SELECT 'bm25_idx', CAST(bdoc[2:] AS INTEGER),
+               CAST(query_id AS INTEGER), score_milli
+        FROM ({R.bm25_int_sql(_BM25_QUERIES, topk=10, rel='doc')})
         """
     ),
 )
@@ -719,6 +757,20 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (sketches.value_quantiles_by): the histogram machinery partitioned
       by group — cumsum windows never see more than one group's |domain|;
       k1 = numeric source id, k2 = q ppm, cnt = the order statistic
+
+    * pack — sequence-packing assignment (packing.pack_assign over the
+      deterministic shard layout): k1 = numeric doc id, k2 = shard,
+      cnt = tok_before — pack_id and pack_offset are exact functions of
+      tok_before and the context length, so this pins the full layout
+    * decon — 13-gram decontamination keep-set
+      (decontaminate.decontaminate mode=drop, broadcast anti-join, zero
+      corpus exchange): one row per SURVIVING doc vs the doc_key%41
+      eval slice; cnt = n_tok
+    * bm25_idx — the at-rest indexed retrieval path
+      (retrieval.bm25_write_index -> bm25_topk_indexed through manifest
+      range-pruned postings files): oracle twin is the PLAIN bm25 SQL —
+      the index is a storage layout, so indexed == direct scores is the
+      hash-checked claim
 
     Every count is exact-integer; each batch-sketch plan is a single
     partial-agg'd exchange (tests/test_sketches.py pins plans + parity
@@ -853,6 +905,32 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_candidates").cast("int").alias("k2"),
         F.col("n_exact").alias("cnt"),
     )
+    packed = PK.pack_assign(
+        SH.assign_shards(
+            doc.select("doc_id", "doc_key", "n_tok"), F.col("doc_key"), 8
+        ),
+        F.col("doc_key"),
+        "n_tok",
+        context_len=256,
+    ).select(
+        F.lit("pack").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("shard").cast("int").alias("k2"),
+        F.col("tok_before").alias("cnt"),
+    )
+    decon = DC.decontaminate(
+        doc.select("doc_id", "n_tok", "tokens"),
+        doc.filter(F.col("doc_key") % 41 == 0).select("tokens"),
+        "doc_id",
+        n=13,
+        mode="drop",
+    ).select(
+        F.lit("decon").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.lit(None).cast("int").alias("k2"),
+        F.col("n_tok").cast("long").alias("cnt"),
+    )
+    bm25_idx = _bm25_indexed_rows(spark, doc)
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -870,4 +948,42 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir)
         .unionByName(bloom_words)
         .unionByName(bloom_doc)
+        .unionByName(packed)
+        .unionByName(decon)
+        .unionByName(bm25_idx)
     )
+
+
+def _bm25_indexed_rows(spark: SparkSession, doc: DataFrame) -> DataFrame:
+    """The at-rest retrieval path as oracle rows: write the inverted
+    index to a throwaway ManifestTable, answer _BM25_QUERIES through the
+    manifest-pruned reader, and localCheckpoint the (tiny, topk-bounded)
+    result so the index files can be deleted before the driver collects.
+    The oracle twin is the plain bm25 SQL — the index is a storage
+    layout, not a scoring change, and THAT equality is the check."""
+    import shutil
+    import tempfile
+
+    from go_html_transform_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        bm25_write_index,
+    )
+    from go_html_transform_spark.sources.manifest_table import ManifestTable
+
+    tmp = tempfile.mkdtemp(prefix="ghts_bm25_idx_")
+    try:
+        table = ManifestTable(f"{tmp}/bm25_idx")
+        _snap, n_docs, total = bm25_write_index(
+            table, doc.select("doc_id", "tokens"), n_files=8
+        )
+        got, _read, _total = bm25_topk_indexed(
+            table, spark, _BM25_QUERIES, n_docs, total, topk=10
+        )
+        return got.select(
+            F.lit("bm25_idx").alias("variant"),
+            F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+            F.col("query_id").cast("int").alias("k2"),
+            F.col("score_milli").alias("cnt"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
