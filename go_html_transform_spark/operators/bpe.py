@@ -188,6 +188,47 @@ def bpe_train_sampled(
     return merges, out
 
 
+def bpe_apply_fixed_ctes(
+    merges: list[tuple[int, int, int]],
+    rel: str = "doc",
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+) -> str:
+    """DuckDB twin of ``bpe_apply`` for a FIXED merge table with a != b
+    in every merge: when the pair members differ, two matches can never
+    share a token index (overlap needs t[i+1] = a = b), so leftmost-
+    first non-overlapping replacement degenerates to 'replace every
+    matched pair' — position j emits the new id when (t[j], t[j+1])
+    matches, is dropped when (t[j-1], t[j]) matches, else passes
+    through. One CTE layer per merge (column refs, never nested
+    expressions) chained in priority order exactly like the python
+    apply — a later merge may consume an earlier one's output id. The
+    chain ends in ``bpe_out`` (id_col, t). a == b runs (leftmost parity
+    inside token runs) are not SQL-shaped; those stay pytest-pinned
+    against the pure-python reference."""
+    if not merges:
+        raise ValueError("bpe_apply_fixed_ctes needs at least one merge")
+    parts = [f"bpe_l0 AS (SELECT {id_col}, {tokens} AS t FROM {rel})"]
+    for li, (a, b, new) in enumerate(merges):
+        if a == b:
+            raise ValueError(
+                f"bpe_apply_fixed_ctes requires a != b per merge, got ({a},{b})"
+            )
+        parts.append(f"""bpe_l{li + 1} AS (
+          SELECT {id_col}, list_filter(
+            list_transform(range(len(t)), j ->
+              CASE WHEN t[j + 1] = {a}
+                        AND COALESCE(t[j + 2], -1) = {b} THEN {new}
+                   WHEN j > 0 AND t[j] = {a} AND t[j + 1] = {b} THEN NULL
+                   ELSE t[j + 1] END),
+            x -> x IS NOT NULL) AS t
+          FROM bpe_l{li})""")
+    parts.append(
+        f"bpe_out AS (SELECT {id_col}, t FROM bpe_l{len(merges)})"
+    )
+    return ",\n".join(parts)
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int,

@@ -16,6 +16,7 @@ from go_html_transform_spark.functions import repetition as REP
 from go_html_transform_spark.functions import text as TX
 from go_html_transform_spark.functions import tokenize as TK
 from go_html_transform_spark.operators import bloom as BL
+from go_html_transform_spark.operators import bpe as BPE
 from go_html_transform_spark.operators import boilerplate as BP
 from go_html_transform_spark.operators import classifier as CLF
 from go_html_transform_spark.operators import decontaminate as DC
@@ -584,6 +585,10 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary (see functions/tokenize.py) — tiny by definition, broadcast
 _BM25_QUERIES = [(0, [982, 756, 310]), (1, [923, 819, 607, 147]), (2, [542, 35, 974])]
 
+# fixed merge table over the hot vocabulary: merge 2 consumes merge 1's
+# output id, so the oracle pins the priority-ordered CHAINED apply
+_BPE_MERGES = [(982, 756, 2001), (2001, 147, 2002)]
+
 # bloom fixture: the "benchmark" is every 50th doc's 8-gram hash set
 _BLOOM_EVAL_CTE = (
     f"(SELECT DISTINCT unnest({DC.ngram_hashes_sql('tokens', 8)}) AS h "
@@ -702,6 +707,11 @@ _BLOOM_DOC_SQL = f"""
         SELECT 'bm25_idx', CAST(bdoc[2:] AS INTEGER),
                CAST(query_id AS INTEGER), score_milli
         FROM ({R.bm25_int_sql(_BM25_QUERIES, topk=10, rel='doc')})
+        UNION ALL
+        SELECT 'bpe', CAST(doc_id[2:] AS INTEGER),
+               CAST(len(t) AS INTEGER), {TX.fingerprint_sql('t')}
+        FROM (WITH {BPE.bpe_apply_fixed_ctes(_BPE_MERGES, rel='doc')}
+              SELECT * FROM bpe_out)
         """
     ),
 )
@@ -766,6 +776,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (decontaminate.decontaminate mode=drop, broadcast anti-join, zero
       corpus exchange): one row per SURVIVING doc vs the doc_key%41
       eval slice; cnt = n_tok
+    * bpe — bpe_apply (the Arrow-batched mapInPandas tokenizer path)
+      with the fixed chained merge table _BPE_MERGES: k1 = numeric doc
+      id, k2 = merged length, cnt = rolling-hash fingerprint of the
+      merged tokens — hash-checked against a per-merge CTE replay
+      (a != b merges cannot overlap, so leftmost-first == replace-all;
+      run semantics for a == b stay pytest-pinned)
     * bm25_idx — the at-rest indexed retrieval path
       (retrieval.bm25_write_index -> bm25_topk_indexed through manifest
       range-pruned postings files): oracle twin is the PLAIN bm25 SQL —
@@ -931,6 +947,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("cnt"),
     )
     bm25_idx = _bm25_indexed_rows(spark, doc)
+    bpe_rows = BPE.bpe_apply(doc.select("doc_id", "tokens"), _BPE_MERGES).select(
+        F.lit("bpe").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.size("tokens").cast("int").alias("k2"),
+        TX.fingerprint(F.col("tokens")).alias("cnt"),
+    )
     return (
         tf_top.unionByName(df_top)
         .unionByName(bigram_top)
@@ -951,6 +973,7 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(packed)
         .unionByName(decon)
         .unionByName(bm25_idx)
+        .unionByName(bpe_rows)
     )
 
 
