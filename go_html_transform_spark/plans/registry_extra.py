@@ -358,11 +358,18 @@ def transform_subtransform_scoped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _vocab_css_sql() -> str:
+    from go_html_transform_spark.functions.csstokenize import css_tokens_sql
+
+    return css_tokens_sql("text")
+
+
 @register(
     "vocab_token_exemplars",
     _cte(
-        """
-        SELECT tok, MIN(w) AS exemplar, COUNT(*) AS occurrences
+        f"""
+        SELECT 'word' AS variant, tok, MIN(w) AS exemplar,
+               COUNT(*) AS occurrences
         FROM (
             SELECT unnest(list_filter(string_split(text, ' '),
                                       x -> length(x) > 0)) AS w,
@@ -373,13 +380,26 @@ def transform_subtransform_scoped(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM documents
         )
         GROUP BY tok
+        UNION ALL
+        SELECT 'css', u.t, MIN(u.s), COUNT(*)
+        FROM (SELECT unnest({_vocab_css_sql()}) AS u FROM documents)
+        GROUP BY u.t
         """
     ),
 )
 def vocab_token_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The vocab dimension (token-id -> exemplar string): the h5.Data
-    projection's broadcast-lookup side (SURVEY §2.2) and the engine twin
-    of the tokenizer's token-type string table (tokentype_string.go)."""
+    """The vocab dimension (token-id -> exemplar string), two frontends:
+
+    * word — hash word-tokenizer exemplars: the h5.Data projection's
+      broadcast-lookup side (SURVEY §2.2) and the engine twin of the
+      tokenizer's token-type string table (tokentype_string.go)
+    * css — the in-engine CSS tokenizer (functions/csstokenize.py, the
+      css/tokenizer/tokenizer.go:120-154 type table as first-class
+      engine surface): every document's text through the full
+      regexp-alternation scanner, grouped by token TYPE with the
+      lexicographic-min lexeme as exemplar — hash-checks the entire
+      33-type classification against the DuckDB twin at corpus scale."""
+    from go_html_transform_spark.functions.csstokenize import css_tokens
     from go_html_transform_spark.functions.tokenize import word_token_expr
 
     doc = S.load_table(spark, sf_dir, "documents")
@@ -388,9 +408,16 @@ def vocab_token_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
         ).alias("w")
     ).withColumn("tok", word_token_expr(F.col("w")))
-    return words.groupBy("tok").agg(
+    word_rows = words.groupBy("tok").agg(
         F.min("w").alias("exemplar"), F.count("*").alias("occurrences")
+    ).select(F.lit("word").alias("variant"), "tok", "exemplar", "occurrences")
+    css_rows = (
+        doc.select(F.explode(css_tokens(F.col("text"))).alias("u"))
+        .groupBy(F.col("u.t").alias("tok"))
+        .agg(F.min("u.s").alias("exemplar"), F.count("*").alias("occurrences"))
+        .select(F.lit("css").alias("variant"), "tok", "exemplar", "occurrences")
     )
+    return word_rows.unionByName(css_rows)
 
 
 @register(
