@@ -132,11 +132,26 @@ def minhash_lsh_candidates(
     tokens_col: str = "tokens",
     num_hashes: int = 16,
     bands: int = 4,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
-    One explode + one equi-join self-join on the band key."""
+    One explode + one equi-join self-join on the band key.
+    ``use_arrow=True`` swaps the interpreted-HOF signature for the
+    exact-equal Arrow kernel (functions/kernels.minhash16_arrow,
+    parity-pinned) — the hot-path choice when the signature pass
+    dominates (realistic vocab, BENCH/OPS.md zipf rows); only the
+    16-hash family has a kernel."""
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(tokens_col), num_hashes)
+    if use_arrow:
+        if num_hashes != 16:
+            raise ValueError(
+                f"the Arrow kernel is MinHash-16 only, got num_hashes={num_hashes}"
+            )
+        from go_html_transform_spark.functions.kernels import minhash16_arrow
+
+        sig = minhash16_arrow(F.col(tokens_col))
+    else:
+        sig = minhash_signature(F.col(tokens_col), num_hashes)
     banded = df.select(
         F.col(id_col).alias("id"),
         F.explode(lsh_bands(sig, bands, rows)).alias("band"),
@@ -197,6 +212,7 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard >= threshold. Returns
     (id_a, id_b, jaccard). The verify join is two broadcast-able semi
@@ -210,7 +226,9 @@ def minhash_near_duplicates(
     inclusion-exclusion the DuckDB twin ``jaccard_ppm_sql`` uses) and
     both the double jaccard and the exact-ppm output share the two
     counts. One array op per pair instead of eight."""
-    cands = minhash_lsh_candidates(df, id_col, tokens_col, num_hashes, bands)
+    cands = minhash_lsh_candidates(
+        df, id_col, tokens_col, num_hashes, bands, use_arrow=use_arrow
+    )
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(tokens_col)).alias("__t"),

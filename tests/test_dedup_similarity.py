@@ -74,6 +74,31 @@ def test_minhash_near_duplicates(spark, corpus):
     assert all("d3" not in pair for pair in got)
 
 
+def test_minhash_near_duplicates_arrow_path_identical(spark, corpus):
+    """use_arrow=True (the kernel signature hot path) returns the exact
+    same pair set and jaccards as the expression path — the two
+    signatures are parity-pinned element-wise, so the banding and
+    verify stages see identical inputs."""
+    expr = sorted(
+        (r.id_a, r.id_b, r.jaccard_ppm)
+        for r in D.minhash_near_duplicates(corpus, "doc_id", threshold=0.5).collect()
+    )
+    arrow = sorted(
+        (r.id_a, r.id_b, r.jaccard_ppm)
+        for r in D.minhash_near_duplicates(
+            corpus, "doc_id", threshold=0.5, use_arrow=True
+        ).collect()
+    )
+    assert expr == arrow and expr
+
+
+def test_minhash_arrow_rejects_non16(spark, corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MinHash-16"):
+        D.minhash_lsh_candidates(corpus, "doc_id", num_hashes=8, use_arrow=True)
+
+
 def test_simhash_near_for_near_docs(spark, corpus):
     sh = {
         r.doc_id: r.sh

@@ -84,8 +84,14 @@ def main() -> None:
         lambda: D.minhash_lsh_candidates(docs, "doc_id").count(),
     )
     out["minhash_candidates"] = n_cand
+    timed(
+        "minhash_candidates_arrow",
+        lambda: D.minhash_lsh_candidates(docs, "doc_id", use_arrow=True).count(),
+    )
 
-    pairs = D.minhash_near_duplicates(docs, "doc_id", threshold=0.8).persist()
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", threshold=0.8, use_arrow=True
+    ).persist()
     n_pairs = timed("minhash_near_dup", lambda: pairs.count(), iters=1)
     out["minhash_verified_pairs"] = n_pairs
     # recall on the planted structure: dup doc z...k pairs with z...(k-1)
