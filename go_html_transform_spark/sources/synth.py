@@ -89,6 +89,57 @@ def zipf_documents(
     )
 
 
+def topic_embeddings(
+    docs: DataFrame,
+    dim: int = 64,
+    n_topics: int = 50,
+    noise_milli: int = 300,
+    jitter_milli: int = 20,
+    seed: int = 11,
+    id_cols: tuple[str, ...] = ("doc_id", "doc_key"),
+) -> DataFrame:
+    """(id cols..., embedding array<double>): topic-mixture embeddings —
+    the CLUSTERED regime of real semantic-embedding corpora (sentence
+    embeddings concentrate around topical directions), where IVF's
+    partition pruning earns its keep. Each doc draws a topic from its
+    CONTENT seed (so a near-dup shares its base's topic and, up to the
+    per-doc jitter, its vector): embedding = normalize(topic_center +
+    noise_milli/1e3 * content_noise + jitter_milli/1e3 * doc_jitter),
+    every component a deterministic hash-uniform in [-1, 1). Contrast
+    with ``hashed_embeddings`` (hot-token-dominated, nearly isotropic
+    after normalization — the ADVERSARIAL regime for ANN); BENCH/ANN.md
+    reports recall on both. Requires the zipf_documents columns
+    (doc_key, is_dup)."""
+    is_dup = F.col("is_dup").cast("long")
+    cs = F.col("doc_key") - is_dup
+    topic = F.pmod(F.xxhash64(cs, F.lit(seed), F.lit("topic")), F.lit(n_topics))
+    s = F.lit(seed)
+
+    def u11(*cols):  # deterministic uniform [-1, 1)
+        return _u01(*cols) * 2.0 - 1.0
+
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            u11(topic, s, F.lit("c"), d)
+            + F.lit(noise_milli / 1e3) * u11(cs, s, F.lit("n"), d)
+            + F.lit(jitter_milli / 1e3) * u11(F.col("doc_key"), s, F.lit("j"), d)
+        ),
+    )
+    dense = docs.select(*id_cols, topic.alias("topic"), raw.alias("__raw"))
+    norm = F.sqrt(
+        F.aggregate(F.col("__raw"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dense.select(
+        *id_cols,
+        "topic",
+        F.transform(
+            F.col("__raw"),
+            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
 def hashed_embeddings(
     docs: DataFrame,
     dim: int = 64,

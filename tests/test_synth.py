@@ -57,6 +57,44 @@ def test_zipf_rank_law(docs):
     assert c1 > c100 > c3000 > 0
 
 
+def test_topic_embeddings_cluster_structure(docs):
+    emb = Z.topic_embeddings(docs, n_topics=8)
+    rows = [(r.doc_key, r.topic, list(r.embedding)) for r in emb.collect()]
+    by_key = {k: (t, v) for k, t, v in rows}
+    assert len(by_key) == 400
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    import math
+
+    for _, _, v in rows[:10]:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    # dup shares its base's topic and is jitter-close
+    for k in range(21, 400, 20):
+        assert by_key[k][0] == by_key[k - 1][0]
+        assert cos(by_key[k][1], by_key[k - 1][1]) > 0.995
+    # same-topic pairs are far closer than cross-topic pairs
+    import collections
+
+    groups = collections.defaultdict(list)
+    for k, (t, v) in by_key.items():
+        groups[t].append(v)
+    same = [cos(vs[0], vs[1]) for vs in groups.values() if len(vs) >= 2]
+    keys = sorted(groups)
+    cross = [
+        cos(groups[keys[i]][0], groups[keys[i + 1]][0])
+        for i in range(len(keys) - 1)
+    ]
+    assert min(same) > max(cross)
+    # deterministic across partitionings
+    again = {
+        r.doc_key: list(r.embedding)
+        for r in Z.topic_embeddings(docs.repartition(13), n_topics=8).collect()
+    }
+    assert all(again[k] == v for k, (_, v) in by_key.items())
+
+
 def test_hashed_embeddings_unit_norm_and_dup_proximity(docs):
     emb = Z.hashed_embeddings(docs)
     rows = {r.doc_key: list(r.embedding) for r in emb.collect()}

@@ -22,6 +22,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "topic"  # topic | bow
     kc = int(os.environ.get("ANN_SYNTH_CENTROIDS", "64"))
 
     from pyspark import StorageLevel
@@ -35,9 +36,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = Z.zipf_documents(spark, n_docs, vocab_size=32_768, avg_len=200)
+    base = (
+        Z.topic_embeddings(docs).drop("topic")
+        if mode == "topic"
+        else Z.hashed_embeddings(docs)
+    )
     emb = (
-        Z.hashed_embeddings(docs)
-        .select(F.col("doc_key").alias("vec_id"), "embedding")
+        base.select(F.col("doc_key").alias("vec_id"), "embedding")
         .repartition(32)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -124,6 +129,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"ANN recall@{k} on synth zipf fixture",
+                "embedding_mode": mode,
                 "corpus_size": n,
                 "k_centroids": kc,
                 "summary": summary,
