@@ -132,16 +132,22 @@ def minhash_lsh_candidates(
     tokens_col: str = "tokens",
     num_hashes: int = 16,
     bands: int = 4,
-    use_arrow: bool = False,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
     One explode + one equi-join self-join on the band key.
-    ``use_arrow=True`` swaps the interpreted-HOF signature for the
-    exact-equal Arrow kernel (functions/kernels.minhash16_arrow,
-    parity-pinned) — the hot-path choice when the signature pass
-    dominates (realistic vocab, BENCH/OPS.md zipf rows); only the
-    16-hash family has a kernel."""
+
+    ``use_arrow`` picks the signature tier: the Arrow kernel
+    (functions/kernels.minhash16_arrow, element-wise parity-pinned to
+    the expression form) or the interpreted-HOF expression. Default
+    ``None`` = auto: the kernel whenever num_hashes == 16 — the
+    signature pass dominates candidate generation at realistic
+    vocabulary sizes (57x measured at 32k-vocab, BENCH/OPS.md zipf
+    rows), and both tiers return identical signatures. Pass False to
+    force the expression form (the DuckDB-oracle anchor shape)."""
     rows = num_hashes // bands
+    if use_arrow is None:
+        use_arrow = num_hashes == 16
     if use_arrow:
         if num_hashes != 16:
             raise ValueError(
@@ -212,7 +218,7 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
-    use_arrow: bool = False,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard >= threshold. Returns
     (id_a, id_b, jaccard). The verify join is two broadcast-able semi

@@ -81,7 +81,9 @@ def main() -> None:
     # candidate rate: the number LSH actually has to verify
     n_cand = timed(
         "minhash_candidates",
-        lambda: D.minhash_lsh_candidates(docs, "doc_id").count(),
+        lambda: D.minhash_lsh_candidates(
+            docs, "doc_id", use_arrow=False
+        ).count(),
     )
     out["minhash_candidates"] = n_cand
     timed(
