@@ -45,6 +45,11 @@ CONFIGS: dict[str, dict] = {
     "parts64": {"env": {"SPARK_GRAFT_PARTITIONS": "64"}},
     "parts256": {"env": {"SPARK_GRAFT_PARTITIONS": "256"}},
     "compress_on": {"env": {"SPARK_GRAFT_SHUFFLE_COMPRESS": "true"}},
+    # round-4 re-measurement label: identical spec to baseline, but the
+    # as-of union window now sorts on the packed (micros*2+tag) long key
+    # (operators/asof.py) — keep its rows separate so fits never mix
+    # pre- and post-pack timings under one config name.
+    "r4_packed": {},
 }
 
 

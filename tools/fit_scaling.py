@@ -44,12 +44,17 @@ def main() -> None:
         agg_name = argv[i + 1]
         del argv[i : i + 2]
     agg = {"min": min, "median": statistics.median}[agg_name]
+    config = "baseline"
+    if "--config" in argv:
+        i = argv.index("--config")
+        config = argv[i + 1]
+        del argv[i : i + 2]
     pair = argv[0] if argv else "4v16"
     by_rep: dict[int, list[dict]] = {}
     with open(os.path.join(REPO, "BENCH", "sweep.jsonl")) as f:
         for line in f:
             r = json.loads(line)
-            if r.get("config") == "baseline" and r.get("pair") == pair:
+            if r.get("config") == config and r.get("pair") == pair:
                 by_rep.setdefault(int(r["replicate"]), []).append(r)
     if len(by_rep) < 2:
         sys.exit(f"need >=2 replicate sizes for pair {pair}, have {sorted(by_rep)}")
