@@ -177,11 +177,25 @@ def _asof_union(
     # key resolves time AND side in the prefix, so the comparator chain
     # (and the struct comparator on __p) only runs on true duplicate
     # (key, time, side) rows. Epoch micros fit 51 bits; * 2 is safe.
-    # NULL times sort first under the packed key exactly as they did
-    # under __time asc.
+    #
+    # The packing is only LOSSLESS when __time is already a timestamp
+    # (Spark timestamps ARE micros); for numeric time columns
+    # unix_micros(cast) would quantize sub-microsecond double ticks that
+    # the raw-column ordering distinguishes, so those fall back to the
+    # raw __time as the leading key. The side tag rides as a SECOND
+    # order column in both shapes: for non-NULL packed keys it is
+    # redundant (equal key => equal side), so the comparator only ever
+    # consults it inside the NULL-time group — where it restores the
+    # exact pre-pack (__time asc, side order) semantics.
+    is_ts = isinstance(u.schema["__time"].dataType, T.TimestampType)
     ts_us = F.unix_micros(F.col("__time").cast("timestamp"))
     r_first = (~F.col("__is_r")).cast("long")  # right rows before left
     l_first = F.col("__is_r").cast("long")  # left rows before right
+
+    def _order(tag: Column) -> list[Column]:
+        lead = (ts_us * 2 + tag) if is_ts else F.col("__time")
+        return [lead.asc(), tag.asc()]
+
     matched_cols = {}
     # Final sort key __p replaces the right-side pre-dedupe ENTIRELY for
     # this strategy: among duplicate right (key, time) rows, last() under
@@ -192,7 +206,7 @@ def _asof_union(
         tag = r_first if allow_exact_matches else l_first
         wb = (
             Window.partitionBy(on)
-            .orderBy((ts_us * 2 + tag).asc(), F.col("__p").asc())
+            .orderBy(*_order(tag), F.col("__p").asc())
             .rowsBetween(Window.unboundedPreceding, 0 if allow_exact_matches else -1)
         )
         matched_cols["__b"] = F.last("__p", ignorenulls=True).over(wb)
@@ -200,7 +214,7 @@ def _asof_union(
         tag = l_first if allow_exact_matches else r_first
         wf = (
             Window.partitionBy(on)
-            .orderBy((ts_us * 2 + tag).asc(), F.col("__p").desc())
+            .orderBy(*_order(tag), F.col("__p").desc())
             .rowsBetween(0 if allow_exact_matches else 1, Window.unboundedFollowing)
         )
         matched_cols["__f"] = F.first("__p", ignorenulls=True).over(wf)

@@ -7,9 +7,13 @@ comfortable broadcast.
 
 Exact-integer by construction: positions come from a TWO-ROUND hash
 built on the engine's shared affine family (sharding._seeded_const)
-applied to the FULL int64 key — the key splits into (hi = key >> 19,
-lo = key & 0x7ffff) so no information is folded away mod P before
-hashing; round one mixes (hi, lo) into x, round two derives two
+applied to the FULL int64 key — the key splits into (hi = key >> 18,
+lo = key & 0x3ffff): lo < 2^18 < P stays INJECTIVE under the mod-P
+arithmetic (an 19-bit lo would alias lo = P with lo = 0, making keys
+that differ only in an all-ones vs all-zeros low field collide on all
+k probes — a deterministic structured collision class outside the FPR
+model; with 18 bits a collision needs hi ≡ hi' (mod P), i.e. full-hash
+territory); round one mixes (hi, lo) into x, round two derives two
 sub-hashes OF x whose composition y * P + z lands in [0, P^2) ~
 2.75e11, so bit arrays up to ~2^38 bits are genuinely addressable
 (``_check_m`` enforces the cap). The second round is load-bearing, not
@@ -57,7 +61,7 @@ from go_html_transform_spark.operators.dedup import MINHASH_P
 from go_html_transform_spark.operators.sharding import _seeded_const
 
 BLOOM_SEEDS = (1001, 1002, 1003)  # one composed position hash per seed
-_LO_BITS = 19  # key splits at 2^19 (just above MINHASH_P = 2^19 - 1)
+_LO_BITS = 18  # lo < 2^18 < P: injective under mod P (19 would fold lo=P to 0)
 _LO_MASK = (1 << _LO_BITS) - 1
 _SUB_SEED_OFFSET = 467  # second sub-hash seed; keeps all sub-seeds distinct
 # positions live in [0, P^2): the hard addressability ceiling for m_bits
@@ -111,7 +115,7 @@ def _round_consts(seed: int) -> tuple[int, int, int, int, int, int, int]:
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k bit positions for a nonnegative int64 key. The full key is
-    hashed — (hi = key >> 19) mod P and (lo = key & 0x7ffff) mix into x
+    hashed — (hi = key >> 18) mod P and (lo = key & 0x3ffff) mix into x
     (every product < 2^38, exact in int64), then two second-round
     hashes of x compose into y * P + z in [0, P^2), so positions cover
     bit arrays up to ~2.7e11 bits with seed-independent probes (see

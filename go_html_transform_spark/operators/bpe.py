@@ -121,9 +121,25 @@ def sample_corpus(
         corpus_rows = df.count()
     if corpus_rows <= sample_rows:
         return df
-    ppm = int(1_000_000 * sample_rows / corpus_rows)
+    thr, den = sample_threshold(sample_rows, corpus_rows)
     key = F.xxhash64(*[F.col(c) for c in key_cols])
-    return df.filter(F.pmod(key, F.lit(1_000_000)) < F.lit(max(1, ppm)))
+    return df.filter(F.pmod(key, F.lit(den)) < F.lit(thr))
+
+
+# threshold denominator: 2^40 gives ~1e-12 fraction granularity, so the
+# kept fraction tracks sample_rows/corpus_rows faithfully up to the
+# 10^12-row design scale (a ppm denominator floors at 1e-6: sampling
+# 1e5 rows from 1e12 would keep 1e6 — 10x the bound — and silently
+# desync any fraction-derived scaling like bpe_train_sampled's
+# min_count). den * sample_rows stays well inside int64.
+_SAMPLE_DEN = 1 << 40
+
+
+def sample_threshold(sample_rows: int, corpus_rows: int) -> tuple[int, int]:
+    """(threshold, denominator) for the hash-keep filter; exact integer
+    math so the ACTUAL kept fraction threshold/denominator is what
+    callers scaling by the fraction must use."""
+    return max(1, (_SAMPLE_DEN * sample_rows) // corpus_rows), _SAMPLE_DEN
 
 
 def bpe_train_sampled(
@@ -168,7 +184,14 @@ def bpe_train_sampled(
     if corpus_rows is None:
         corpus_rows = int(row["n"])
     sample = sample_corpus(df, sample_rows, key_cols, corpus_rows=corpus_rows)
-    frac = min(1.0, sample_rows / max(1, corpus_rows))
+    if corpus_rows <= sample_rows:
+        frac = 1.0
+    else:
+        # the ACTUAL kept fraction (threshold granularity included), so
+        # the scaled early-stop threshold means the same corpus
+        # frequency the caller asked for
+        thr, den = sample_threshold(sample_rows, corpus_rows)
+        frac = thr / den
     eff_min = max(2, int(min_count * frac))
     sample = sample.persist()
     try:

@@ -630,6 +630,7 @@ def near_dedup_keep_canonical(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every near-duplicate except the canonical (min-id) member of
     its cluster: the terminal step of the near-dedup pipeline
@@ -637,8 +638,15 @@ def near_dedup_keep_canonical(
     keep one). Rows never mentioned in `pairs` pass through untouched —
     the component join is an anti-join against the (small) non-canonical
     node set, so the corpus is scanned once and never shuffled on its
-    payload."""
-    comp = connected_components(pairs, id_a, id_b)
+    payload. Pass ``components`` (a (node, component) frame from
+    ``connected_components``) when the caller already ran the iterative
+    labelling — it is the expensive half, and rerunning it here would
+    double the label-propagation rounds."""
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, id_a, id_b)
+    )
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__loser")
     )

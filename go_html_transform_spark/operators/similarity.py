@@ -516,13 +516,14 @@ def pq_encode_cte_sql(
 
 
 def ivfpq_encode_cte_sql(
-    k: int = 8, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64
+    m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64
 ) -> str:
     """DuckDB twin of ``ivfpq_encode`` with the seeded coarse codebook:
     CTE chain ending in ``ipqp`` (vec_id, cid, pq_code). Requires the
     caller's WITH to already define ``a`` (vec_id, cid — the seeded IVF
     assignment, the sim_bucket_stats _IVF_ASSIGN_CTE) and ``c``
-    (cid, cvec — its centroid relation). Residuals, residual codebooks
+    (cid, cvec — its centroid relation); the coarse width k is entirely
+    the ``a``/``c`` CTEs' concern — this body never references it. Residuals, residual codebooks
     (the ksub lowest-id vectors' residuals, the pq_codebooks convention)
     and the argmin encode all mirror the Spark op order, so every double
     is bit-identical."""

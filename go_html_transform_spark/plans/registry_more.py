@@ -409,7 +409,7 @@ from go_html_transform_spark.operators.similarity import (
     ivfpq_encode_cte_sql as _ivfpq_sql,
 )
 
-_IVFPQ_ENCODE_CTE = _ivfpq_sql(k=8, m=4, ksub=16, dim=64).strip()
+_IVFPQ_ENCODE_CTE = _ivfpq_sql(m=4, ksub=16, dim=64).strip()
 
 
 @register(

@@ -349,15 +349,20 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("long").alias("score"),
     )
+    # persist covers the iterative CC rounds (connected_components runs
+    # eagerly and returns a localCheckpointed frame), then releases —
+    # comp no longer references pairs_only afterwards
     pairs_only = mh_pairs.select("id_a", "id_b").persist()
-    cc = D.connected_components(pairs_only).select(
+    comp = D.connected_components(pairs_only)
+    pairs_only.unpersist()
+    cc = comp.select(
         F.lit("cc_minhash").alias("variant"),
         F.col("node").alias("id_a"),
         F.col("component").alias("id_b"),
         F.lit(None).cast("long").alias("score"),
     )
     keep = D.near_dedup_keep_canonical(
-        doc.select("doc_id"), pairs_only, "doc_id"
+        doc.select("doc_id"), pairs_only, "doc_id", components=comp
     ).select(
         F.lit("keep_minhash").alias("variant"),
         F.col("doc_id").alias("id_a"),

@@ -203,6 +203,59 @@ def test_asof_zero_leakage_property(spark):
     assert got == base  # future rows invisible to backward as-of
 
 
+def test_asof_null_time_rows_keep_side_ordering(spark):
+    """NULL-time rows have a NULL packed sort key, so they all land in
+    one ordering group where only the explicit side-tag column separates
+    left from right. Regression: the first packed-key cut dropped the
+    tag there, flipping the backward-inclusive NULL->NULL match to None.
+    Pinned semantics (pre-pack, union strategy): NULLS FIRST makes a
+    NULL right time read as -infinity — backward INCLUSIVE left rows
+    (NULL-time ones included, via the side tag) see its payload; under
+    STRICT the NULL-time left row does not (right sorts after left
+    inside the NULL group)."""
+    l = spark.createDataFrame(
+        [("d1", None, 1.0), ("d1", BASE, 2.0)],
+        "doc_id string, event_time timestamp, lval double",
+    )
+    r = spark.createDataFrame(
+        [("d1", None, 100.0)],
+        "doc_id string, obs_time timestamp, label_value double",
+    )
+    got = {
+        r_.lval: r_.label_value
+        for r_ in asof_join(l, r, strategy="union").collect()
+    }
+    assert got[1.0] == 100.0  # NULL-time left matches NULL-time right
+    assert got[2.0] == 100.0  # -infinity: visible to every backward row
+    strict = {
+        r_.lval: r_.label_value
+        for r_ in asof_join(
+            l, r, strategy="union", allow_exact_matches=False
+        ).collect()
+    }
+    assert strict[1.0] is None
+
+
+def test_asof_numeric_time_submicrosecond_resolution(spark):
+    """Numeric (double) time columns must order at FULL precision: the
+    packed micros key would quantize 1.0000001 and 1.0000004 into one
+    microsecond, letting a backward match leak a right row that is
+    actually AFTER the left row. union must agree with cogroup (pandas
+    merge_asof on the raw doubles)."""
+    l = spark.createDataFrame(
+        [("d1", 1.0000002, 1.0)], "doc_id string, event_time double, lval double"
+    )
+    r = spark.createDataFrame(
+        [("d1", 1.0000001, 1.0), ("d1", 1.0000004, 2.0)],
+        "doc_id string, obs_time double, label_value double",
+    )
+    for direction, want in (("backward", 1.0), ("forward", 2.0)):
+        got = asof_join(
+            l, r, strategy="union", direction=direction
+        ).collect()[0]
+        assert got.label_value == want, direction
+
+
 def test_asof_invalid_args(spark):
     left, right = _mk_fixture()
     l, r = _spark_dfs(spark, left, right)

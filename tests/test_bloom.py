@@ -180,3 +180,18 @@ def test_bloom_positions_use_full_key_width(spark):
     ).collect()
     for r in got:
         assert list(r.ps) == BL._positions_py(r.h, m_bits, 3)
+
+
+def test_bloom_low_field_not_folded_mod_p(spark):
+    """A 19-bit low split folded lo = P = 0x7ffff to 0 mod P, so keys
+    differing ONLY in an all-ones vs all-zeros low field probed
+    identical bits for every seed — a deterministic structured
+    collision class outside the FPR model. With the 18-bit split
+    (lo < 2^18 < P, injective) those pairs must differ."""
+    for m in (4096, 1 << 21):
+        for h in (1, 7, 12345, 99999):
+            k1 = h << 19
+            k2 = (h << 19) | 0x7FFFF
+            assert BL._positions_py(k1, m, 3) != BL._positions_py(k2, m, 3), (
+                f"structured collision at h={h}, m={m}"
+            )

@@ -220,6 +220,17 @@ def test_sample_corpus_threshold_and_determinism(spark):
     assert B.sample_corpus(df, 2000, ["id"]).count() == 1000
 
 
+def test_sample_threshold_tracks_tiny_fractions():
+    # 1e5 rows from 1e12: a ppm threshold floors at 1e-6 (10x the asked
+    # fraction — and a 10x-oversized sample per count round); the 2^40
+    # denominator tracks the asked fraction to <1%.
+    thr, den = B.sample_threshold(100_000, 10**12)
+    assert abs(thr / den - 1e-7) / 1e-7 < 0.01
+    # never zero, even past the design scale
+    thr, den = B.sample_threshold(1, 10**15)
+    assert thr == 1
+
+
 def test_bpe_train_tolerates_null_arrays(spark):
     df = spark.createDataFrame(
         [(0, [1, 2, 1, 2]), (1, None), (2, [1, 2])],
