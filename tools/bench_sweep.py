@@ -50,6 +50,12 @@ CONFIGS: dict[str, dict] = {
     # (operators/asof.py) — keep its rows separate so fits never mix
     # pre- and post-pack timings under one config name.
     "r4_packed": {},
+    # final round-4 label: same spec, measured AFTER the NULL-group
+    # side-tag + numeric-time fallback fix landed on the packed-key sort
+    # (commit 09fce47) — the tag rides as a second order column, which
+    # only the comparator on prefix-equal rows ever reads, but the fit
+    # population must not mix pre- and post-fix binaries.
+    "r4_final": {},
 }
 
 

@@ -58,7 +58,7 @@ def main() -> None:
                 by_rep.setdefault(int(r["replicate"]), []).append(r)
     if len(by_rep) < 2:
         sys.exit(f"need >=2 replicate sizes for pair {pair}, have {sorted(by_rep)}")
-    rep1, rep2 = sorted(by_rep)[:2]
+    reps = sorted(by_rep)
     med = {
         rep: {
             lvl: {
@@ -72,22 +72,29 @@ def main() -> None:
     out = {
         "pair": pair,
         "agg": agg_name,
-        "reps": [rep1, rep2],
-        "n_rows": {str(rep): len(by_rep[rep]) for rep in sorted(by_rep)},
+        "reps": reps,
+        "n_rows": {str(rep): len(by_rep[rep]) for rep in reps},
         "stages": {},
     }
-    for stage in med[rep1]["t_lo"]:
+    mean_rep = sum(reps) / len(reps)
+    var_rep = sum((r - mean_rep) ** 2 for r in reps)
+    for stage in med[reps[0]]["t_lo"]:
         fit = {}
         for lvl in ("t_lo", "t_hi"):
-            t1, t2 = med[rep1][lvl][stage], med[rep2][lvl][stage]
-            b = (t2 - t1) / (rep2 - rep1)  # marginal sec per replicate
-            a = t1 - b * rep1              # fixed sec
+            # least squares over ALL replicate levels (exactly the
+            # 2-point fit when only two exist)
+            ts = [med[rep][lvl][stage] for rep in reps]
+            mean_t = sum(ts) / len(ts)
+            b = sum(
+                (r - mean_rep) * (t - mean_t) for r, t in zip(reps, ts)
+            ) / var_rep
+            a = mean_t - b * mean_rep
             fit[lvl] = {"fixed_sec": round(a, 2), "marginal_sec_per_rep": round(b, 4)}
         blo = fit["t_lo"]["marginal_sec_per_rep"]
         bhi = fit["t_hi"]["marginal_sec_per_rep"]
         fit["raw_eff_at_rep"] = {
             str(rep): round(med[rep]["t_lo"][stage] / (4 * med[rep]["t_hi"][stage]), 3)
-            for rep in (rep1, rep2)
+            for rep in reps
         }
         fit["marginal_eff"] = round(blo / (4 * bhi), 3) if bhi > 0 else None
         out["stages"][stage] = fit
