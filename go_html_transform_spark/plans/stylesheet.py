@@ -91,6 +91,26 @@ class Stylesheet:
     comments: list[str] = field(default_factory=list)
 
 
+def _strip_block_comments(block: str) -> str:
+    """Remove ``/* ... */`` runs inside a declaration block (values are
+    integer lists — no string syntax exists in the block grammar, so a
+    lexical strip is safe). An unclosed comment is the same fail-fast as
+    at statement level."""
+    out = []
+    i, n = 0, len(block)
+    while i < n:
+        j = block.find("/*", i)
+        if j < 0:
+            out.append(block[i:])
+            break
+        end = block.find("*/", j + 2)
+        if end < 0:
+            raise ParseError(f"unclosed comment in declaration block: {block[j:]!r}")
+        out.append(block[i:j])
+        i = end + 2
+    return "".join(out)
+
+
 def parse_stylesheet(text: str) -> Stylesheet:
     sheet = Stylesheet()
     i, n = 0, len(text)
@@ -134,7 +154,8 @@ def parse_stylesheet(text: str) -> Stylesheet:
         if end < 0:
             raise ParseError(f"unclosed declaration block at offset {brace}")
         decls = []
-        for raw in text[brace + 1 : end].split(";"):
+        block = _strip_block_comments(text[brace + 1 : end])
+        for raw in block.split(";"):
             raw = raw.strip()
             if not raw:
                 continue
@@ -142,6 +163,14 @@ def parse_stylesheet(text: str) -> Stylesheet:
                 raise ParseError(f"declaration without ':' : {raw!r}")
             prop, _, val = raw.partition(":")
             decls.append(Declaration(prop.strip().lower(), val.strip()))
+        for d in decls:
+            if d.property == "priority":
+                try:
+                    int(d.value)
+                except ValueError as e:
+                    raise ParseError(
+                        f"priority: expected an integer, got {d.value!r}"
+                    ) from e
         sheet.rulesets.append(Ruleset(chain, sel_text, tuple(decls)))
         i = end + 1
     return sheet

@@ -103,8 +103,24 @@ def test_stylesheet_single_projection(spark, frame):
         "t1 { remove-children: 4; }",  # value where none allowed
         "@import",  # unclosed at-rule
         "{ append: 5; }",  # empty selector
+        "t1 { append: 5; priority: high; }",  # non-integer priority
+        "t1 { append: 5; /* unclosed }",  # unclosed block comment
     ],
 )
 def test_stylesheet_fail_fast(bad):
     with pytest.raises(ParseError):
         SS.load_rules(bad)
+
+
+def test_comment_inside_declaration_block():
+    """CSS allows comments anywhere; a block-internal one must not turn
+    into a bogus declaration (the block grammar has no string syntax, so
+    the lexical strip is safe)."""
+    sheet = SS.parse_stylesheet(
+        "t1 { append: 7; /* why: legacy */ priority: 3; }"
+    )
+    assert sheet.rulesets[0].declarations == (
+        SS.Declaration("append", "7"),
+        SS.Declaration("priority", "3"),
+    )
+    assert sheet.rulesets[0].priority == 3
