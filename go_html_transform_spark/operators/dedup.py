@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 MINHASH_P = 524287  # 2^19 - 1, prime
 MINHASH_A = 40503
@@ -68,22 +67,33 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Keep one row (min id) per canonical key — the identity-set dedup of
     Chain.Find (css/selector/data.go:330,336-341) lifted to corpus scale.
 
-    The shuffle is keyed on ``xxhash64(key)`` (8 bytes), NOT the raw key:
-    at 10^12 documents a text-keyed exchange would ship every document
-    through the shuffle as its own partition key (round-1 weakness). The
-    raw key rides along as payload only, and hash COLLISIONS stay correct:
-    within a hash partition rows sort by (key, id), and a row survives iff
-    it opens a new key run — distinct colliding keys land in the same
-    partition but different runs, each keeping its own min-id row."""
+    Shape: ONE exchange, as a hash aggregate ``min_by(row, id)`` grouped
+    on ``(xxhash64(key), key)``. Two properties matter at 10^12 docs:
+
+    * **partial aggregation**: duplicates collapse MAP-SIDE before the
+      exchange, so a pathological key duplicated 10^9 times ships at most
+      one pre-combined candidate row per input partition — and the reduce
+      side merges at most #partitions candidates per key. The previous
+      window form (lag over partitionBy(hash) + per-partition sort)
+      shipped every copy into ONE window partition and sorted it there:
+      windows cannot be AQE-skew-split and have no map-side combine, so
+      one hot key serialized the stage.
+    * the 8-byte ``__kh`` leads the grouping so the common fast path
+      compares hashes, with the raw key alongside keeping COLLISIONS
+      correct: distinct colliding keys form distinct groups, each keeping
+      its own min-id row (forced-collision test pins this).
+
+    Ties on a duplicated (key, id) pair keep exactly one arbitrary row —
+    same contract as the window form's sort tie."""
     hashed = df.withColumn("__key", key).withColumn(
         "__kh", F.xxhash64(F.col("__key"))
     )
-    w = Window.partitionBy("__kh").orderBy("__key", id_col)
-    prev = F.lag("__key").over(w)
-    marked = hashed.withColumn(
-        "__first", prev.isNull() | (prev != F.col("__key"))
+    kept = (
+        hashed.groupBy("__kh", "__key")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
-    return marked.filter(F.col("__first")).drop("__key", "__kh", "__first")
+    return kept
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,12 @@ Scale shape (10^12 sequences):
 
 * span explode is narrow (fan-out n_tok - n + 1, rows ~24 bytes:
   id + int pos + int64 hash — the document text/tokens NEVER ride along);
-* occurrence ranking is ONE exchange on the 8-byte span hash + one sort
-  (row_number + count share the window);
+* occurrence ranking is a PARTIAL-AGG groupBy on the 8-byte span hash
+  (count + min(struct(id, pos)) both combine map-side — a hot span
+  collapses to one candidate per input partition before the exchange,
+  and no per-partition sort of the occurrence set ever happens) plus an
+  AQE-skew-splittable equi-join of the occurrence stream against the
+  duplicated subset;
 * per-doc start lists are a second narrow exchange on the id;
 * the only corpus-wide row movement is the final join of start lists
   back onto the corpus — shuffle-free when the corpus is bucketed by
@@ -45,7 +49,7 @@ recurrence* instead of a CSS pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from go_html_transform_spark.operators.decontaminate import (
@@ -78,18 +82,34 @@ def duplicated_span_starts(
 ) -> DataFrame:
     """(id, dup_starts: sorted array<int>) for every document that loses
     at least one span — the non-canonical occurrences of every
-    corpus-duplicated span value. Two narrow exchanges total (span hash,
-    then id); the corpus rows themselves are never shuffled here."""
+    corpus-duplicated span value. The corpus rows themselves are never
+    shuffled here.
+
+    Shape: per-hash (count, first-occurrence) come from a PARTIAL-AGG
+    groupBy — ``min(struct(id, pos))`` is the (id, pos)-lexicographic
+    canonical and combines map-side, so a license header repeated 10^9
+    times corpus-wide collapses to one candidate per input partition
+    before its hash ever crosses the wire. Non-canonical occurrences are
+    then an equi-JOIN of the occurrence stream against the duplicated
+    subset of that (bounded, narrow) table — joins, unlike the window
+    sort this replaces, are AQE-skew-splittable, and the hash-agg needs
+    no per-partition sort of the 10^15-row occurrence set. Costs one
+    extra pass over the narrow occurrence stream (two derivations of
+    span_occurrences); at corpus scale the eliminated sort + hot-key
+    serialization dominates that by orders of magnitude."""
     occ = span_occurrences(df, id_col, tokens_col, n)
-    wh = Window.partitionBy("span_hash")
-    marked = occ.select(
-        id_col,
-        "pos",
-        F.row_number().over(wh.orderBy(id_col, "pos")).alias("__rn"),
-        F.count(F.lit(1)).over(wh).alias("__cnt"),
+    dup_first = (
+        occ.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(id_col, "pos")).alias("__first"),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("span_hash", "__first")
     )
     return (
-        marked.filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
+        occ.join(dup_first, "span_hash")
+        .filter(F.struct(id_col, "pos") != F.col("__first"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("dup_starts"))
     )

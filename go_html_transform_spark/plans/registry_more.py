@@ -677,10 +677,10 @@ def match_simple_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact_dedup: keep the min-id representative per content key (the
     Chain.Find identity-set dedup, data.go:330-343, lifted to corpus
-    scale). The exchange is keyed on xxhash64(text) — 8 bytes — with the
-    text riding as payload; collisions stay correct via the per-partition
-    (key, id) sort (see operators/dedup.exact_dedup; plan-asserted in
-    tests/test_plans.py)."""
+    scale). One partial-agg exchange led by xxhash64(text) — duplicates
+    collapse map-side, hot keys cannot serialize a task — with the raw
+    key alongside in the grouping so hash collisions stay correct (see
+    operators/dedup.exact_dedup; plan-asserted in tests/test_plans.py)."""
     from go_html_transform_spark.operators.dedup import exact_dedup
 
     doc = S.load_table(spark, sf_dir, "documents")

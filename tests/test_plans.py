@@ -99,10 +99,13 @@ def test_transform_chain_stays_in_one_stage(spark):
     assert "Project [" in p and "Sort" not in p and "Aggregate" not in p, p
 
 
-def test_exact_dedup_shuffles_on_hash_not_text(spark):
-    """exact_dedup's exchange must be keyed on xxhash64(key) — 8 bytes —
-    never on the raw text (at 10^12 docs a text-keyed exchange ships every
-    document through the shuffle as its partition key)."""
+def test_exact_dedup_is_partial_agg_no_window(spark):
+    """exact_dedup must be ONE partial-aggregated exchange led by the
+    8-byte xxhash64(key): map-side combine collapses duplicates BEFORE
+    the shuffle (a key duplicated 10^9 times ships one candidate per
+    input partition), and no Window/Sort may appear — windows cannot be
+    AQE-skew-split, so the old lag-over-window form let one hot key
+    serialize the stage."""
     import re
 
     from go_html_transform_spark.operators.dedup import exact_dedup
@@ -114,9 +117,13 @@ def test_exact_dedup_shuffles_on_hash_not_text(spark):
     assert parts, p
     for keys in parts:
         assert "__kh" in keys, p
-        assert "text" not in keys, p
+    # partial (map-side) min_by before the exchange, final after it
+    assert re.search(r"partial_min_by|partial\(min_by", p) or (
+        p.count("Aggregate") >= 2 and "min_by" in p
+    ), p
+    assert "Window" not in p, p
     # correctness twin: collisions keep distinct keys apart (forced-collision
-    # unit lives in tests/test_dedup.py)
+    # unit lives in tests/test_dedup_similarity.py)
 
 
 def test_sequences_large_dim_takes_salted_sort_merge(spark):

@@ -164,8 +164,9 @@ def main() -> None:
         ),
         (
             "exact dedup (keep-first per content key)",
-            "MUST: Exchange keyed on __kh = xxhash64(text) — 8 bytes — never "
-            "on the raw text; text rides as payload only.",
+            "MUST: one PARTIAL-AGGREGATED exchange led by __kh = "
+            "xxhash64(text) (map-side combine collapses duplicates before "
+            "the shuffle); no Window/Sort — hot keys must not serialize.",
             D.exact_dedup(
                 S.load_table(spark, sf_dir, "documents"), "doc_id", F.col("text")
             ),
