@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 _VERSION = "VERSION"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot id first (optimistic
+    concurrency loser). Re-read the table state and retry the commit."""
+
+
 @dataclass(frozen=True)
 class DataFile:
     path: str
@@ -139,8 +144,34 @@ class ManifestTable:
                 for f in files
             ],
         }
-        with open(self._manifest_path(snap), "w") as f:
-            json.dump(doc, f)
+        # optimistic concurrency (Iceberg's commit contract): the manifest
+        # for snapshot N+1 is created with O_EXCL, so of two writers that
+        # both read parent N, exactly one commits and the other FAILS
+        # loudly (retry = re-read the new parent and re-commit) instead of
+        # silently overwriting the winner's manifest and orphaning its
+        # data files.
+        # Crash recovery: a manifest for `snap` with VERSION still at
+        # `parent` is a half-commit orphaned by a writer killed between
+        # manifest write and pointer swap — remove it and take its place
+        # (its data files stay unreachable garbage, same as any killed
+        # writer). A manifest whose snapshot VERSION already reached is a
+        # live concurrent commit: fail loudly.
+        for attempt in range(2):
+            try:
+                with open(self._manifest_path(snap), "x") as f:
+                    json.dump(doc, f)
+                break
+            except FileExistsError:
+                if self.current_snapshot_id() >= snap or attempt == 1:
+                    raise ConcurrentCommitError(
+                        f"snapshot {snap} was committed by a concurrent "
+                        f"writer (parent {parent} is stale); re-read and "
+                        f"retry"
+                    ) from None
+                try:
+                    os.remove(self._manifest_path(snap))
+                except FileNotFoundError:
+                    pass
         # atomic pointer swap: readers see the old or the new snapshot,
         # never a torn state
         tmp = os.path.join(self.root, _VERSION + ".tmp")

@@ -106,6 +106,42 @@ def test_atomic_pointer_torn_writer(spark, table):
     assert all(os.path.exists(f.path) for f in files)  # orphaned, not live
 
 
+def test_concurrent_commit_loses_loudly(spark, table):
+    """Optimistic concurrency: of two writers that both read the same
+    parent snapshot, the second to write the manifest must FAIL with
+    ConcurrentCommitError — never silently overwrite the winner's
+    manifest (the lost-update would orphan the winner's data files while
+    VERSION still advertised its snapshot id)."""
+    from go_html_transform_spark.sources.manifest_table import (
+        ConcurrentCommitError,
+    )
+
+    table.append(_range_df(spark, 0, 10))
+    table.append(_range_df(spark, 10, 20))  # snapshot 2 committed
+    stale_files = table._write_data(_range_df(spark, 20, 30), None)
+    with pytest.raises(ConcurrentCommitError):
+        table._commit(stale_files, parent=1)  # stale: would re-commit snap 2
+    # the winner's state is intact
+    assert table.current_snapshot_id() == 2
+    assert table.scan(spark).count() == 20
+
+
+def test_orphan_manifest_from_crashed_writer_is_recovered(spark, table):
+    """A writer killed BETWEEN manifest write and pointer swap leaves a
+    half-commit manifest at parent+1 with VERSION still at parent. The
+    next commit must recognize it as an orphan (VERSION never reached
+    it), replace it, and succeed — not wedge the table forever."""
+    table.append(_range_df(spark, 0, 10))
+    # simulate the half-commit: manifest exists, VERSION not swapped
+    with open(table._manifest_path(2), "w") as f:
+        f.write('{"snapshot_id": 2, "parent_id": 1, "files": []}')
+    assert table.current_snapshot_id() == 1
+    s2 = table.append(_range_df(spark, 10, 25))
+    assert s2 == 2
+    assert table.current_snapshot_id() == 2
+    assert table.scan(spark).count() == 25
+
+
 def test_empty_prune_result_yields_empty_frame(spark, table):
     table.append(_range_df(spark, 0, 10), stats_cols=["event_id"])
     out = table.scan(spark, prune={"event_id": (10_000, 20_000)})
