@@ -357,13 +357,34 @@ def streaming_asof_enrich_stateful(
                     "__v": float(last_v),
                 }
                 batch = pd.concat([virt, batch], ignore_index=True)
+            # na_position='first': a NULL-VALUED label must LOSE the
+            # same-(entity, t) tie to any valued duplicate — the batch
+            # engine's max(struct) treats NULL as smallest. With NaN
+            # sorted last it would win the tie instead.
             batch = batch.sort_values(
                 ["__t", "__tag", "__v", "event_id"],
                 kind="mergesort",
                 ignore_index=True,
+                na_position="first",
             )
             is_lab = batch["__tag"] == 0
-            filled = batch["__v"].where(is_lab).ffill()
+            # position-based forward fill, NOT value-ffill: the winner is
+            # the latest LABEL ROW, whatever its value. A value-ffill
+            # skips a NULL-valued label and carries the OLDER label
+            # forward, where the batch as-of yields NULL until the next
+            # label arrives.
+            import numpy as np
+
+            last_lab = np.maximum.accumulate(
+                np.where(is_lab.to_numpy(), np.arange(len(batch)), -1)
+            )
+            v_arr = batch["__v"].to_numpy()
+            filled = pd.Series(
+                np.where(
+                    last_lab >= 0, v_arr[np.clip(last_lab, 0, None)], np.nan
+                ),
+                index=batch.index,
+            )
             ev = batch["__tag"] == 1
             if ev.any():
                 yield pd.DataFrame(
@@ -492,16 +513,32 @@ def streaming_asof_enrich_many_stateful(
                     [pd.DataFrame(virts, columns=batch.columns), batch],
                     ignore_index=True,
                 )
+            # na_position='first' + position-based fill: same NULL-valued
+            # label contract as the single-table variant (NULL loses the
+            # same-t tie to a value; a solitary NULL-valued label yields
+            # NULL, not the older label).
             batch = batch.sort_values(
                 ["__t", "__tag", "__v", "event_id"],
                 kind="mergesort",
                 ignore_index=True,
+                na_position="first",
             )
+            import numpy as np
+
             ev = batch["__tag"] == 1
+            v_arr = batch["__v"].to_numpy()
             filled = {}
             for i in range(k):
                 is_i = (batch["__tag"] == 0) & (batch["__src"] == i)
-                filled[i] = batch["__v"].where(is_i).ffill()
+                last_i = np.maximum.accumulate(
+                    np.where(is_i.to_numpy(), np.arange(len(batch)), -1)
+                )
+                filled[i] = pd.Series(
+                    np.where(
+                        last_i >= 0, v_arr[np.clip(last_i, 0, None)], np.nan
+                    ),
+                    index=batch.index,
+                )
                 if is_i.any():
                     lrows = batch[is_i]
                     st[2 * i] = int(lrows["__t"].iloc[-1])

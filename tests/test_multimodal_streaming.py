@@ -985,6 +985,97 @@ def test_streaming_asof_replayed_smaller_label_cannot_win(spark, tmp_path):
     assert got2[1] is None and got2[2] == 5.0
 
 
+def test_streaming_asof_null_valued_labels_match_batch(spark, tmp_path):
+    """NULL-VALUED labels (review finding): the batch engine's contract
+    is (a) a solitary NULL-valued label yields NULL for events after it
+    — NOT the older label carried forward (a value-ffill skips NaN), and
+    (b) a NULL-valued duplicate at the same (entity, t) LOSES the tie to
+    any valued one (max(struct) treats NULL as smallest; a NaN-last sort
+    let it win). Pinned for both stateful variants across two
+    micro-batches, against the batch as-of on the same rows."""
+    import datetime as dt
+
+    from go_html_transform_spark.operators.asof import asof_join
+
+    BASE = dt.datetime(2026, 1, 1)
+
+    def at(s):
+        return BASE + dt.timedelta(seconds=s)
+
+    # entity a: value, then NULL label, then value again
+    # entity b: same-t (NULL, valued) duplicates in both orders
+    # entity c: NULL label in batch 1, event in batch 2 (state carries it)
+    labels = [
+        ("a", at(10), 1.0), ("a", at(20), None), ("a", at(30), 3.0),
+        ("b", at(10), None), ("b", at(10), 2.0),
+        ("b", at(40), 5.0), ("b", at(40), None),
+        ("c", at(10), None), ("c", at(30), 4.0),
+    ]
+    events = [
+        ("a", 1, at(15)), ("a", 2, at(25)), ("a", 3, at(35)),
+        ("b", 4, at(15)), ("b", 5, at(45)),
+        ("c", 6, at(20)), ("c", 7, at(35)),
+    ]
+    l = spark.createDataFrame(
+        events, "doc_id string, event_id long, event_time timestamp"
+    )
+    r = spark.createDataFrame(
+        labels, "doc_id string, obs_time timestamp, label_value double"
+    )
+    want = {
+        x.event_id: x.label_value
+        for x in asof_join(l, r, direction="backward").collect()
+    }
+    # the batch contract itself, spelled out (guards against the oracle
+    # and the twin drifting together)
+    assert want == {1: 1.0, 2: None, 3: 3.0, 4: 2.0, 5: 5.0, 6: None, 7: 4.0}
+
+    cut = at(22)
+    lsrc, rsrc = str(tmp_path / "ev"), str(tmp_path / "lab")
+    for df, src, tcol in ((l, lsrc, "event_time"), (r, rsrc, "obs_time")):
+        df.filter(F.col(tcol) <= F.lit(cut)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        df.filter(F.col(tcol) > F.lit(cut)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    import glob
+    import os
+
+    for src in (lsrc, rsrc):
+        files = sorted(glob.glob(src + "/part-*.parquet"), key=os.path.getmtime)
+        for i, f in enumerate(files):
+            os.rename(f, os.path.join(src, f"batch-{i}.parquet"))
+
+    def streams():
+        es = (
+            spark.readStream.schema(l.schema)
+            .option("maxFilesPerTrigger", 1).parquet(lsrc)
+        )
+        ls = (
+            spark.readStream.schema(r.schema)
+            .option("maxFilesPerTrigger", 1).parquet(rsrc)
+        )
+        return es, ls
+
+    es, ls = streams()
+    out = ST.run_available_now(
+        ST.streaming_asof_enrich_stateful(es, ls), "null_lab_single",
+        output_mode="append",
+    )
+    got = {x.event_id: x.label_value for x in out.collect()}
+    assert got == want
+
+    es, ls = streams()
+    out2 = ST.run_available_now(
+        ST.streaming_asof_enrich_many_stateful(es, {"lab": ls}),
+        "null_lab_many",
+        output_mode="append",
+    )
+    got2 = {x.event_id: x.lab_label_value for x in out2.collect()}
+    assert got2 == want
+
+
 def test_run_available_now_default_mode_probes_the_plan(spark, tmp_path):
     """Non-aggregating streams drain with the default output mode (the
     old default keyed on isStreaming — always true — and crashed)."""
