@@ -164,6 +164,118 @@ def contamination_counts(
     )
 
 
+def eval_contamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    tokens_col: str = "tokens",
+    n: int = 13,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """The EVAL-side direction of decontamination — the model-card
+    number: per evaluation document, what fraction of ITS distinct
+    n-grams appears anywhere in the training corpus.
+
+    Returns (eval_id, n_ngrams, n_found, contamination_ppm,
+    contaminated): exact-integer ppm fraction (0 for docs shorter than
+    ``n``, which are reported, not dropped) and the standard
+    threshold flag (``>= threshold_ppm`` of n-grams found ⇒ treat the
+    eval doc as contaminated — GPT-3 appendix-C style reporting).
+
+    Scale shape (the corpus is the 10^12-doc side): the eval n-gram set
+    is benchmark-sized, so it BROADCASTS as the probe; the corpus
+    explodes n-gram hashes (narrow) into a broadcast LEFT SEMI join —
+    map-side, zero corpus exchanges — and only the matched minority
+    (bounded by |eval n-grams|) reaches the distinct + the per-doc
+    count. Collisions overcount contamination (~|corpus-ngrams|/2^38
+    per eval n-gram) — the conservative direction, same contract as
+    ``decontaminate``."""
+    ev = eval_df.select(
+        F.col(eval_id_col),
+        F.array_distinct(ngram_hashes(F.col(tokens_col), n)).alias("__ngs"),
+    )
+    ev_ng = ev.select(eval_id_col, F.explode("__ngs").alias("__ng"))
+    probe = ev_ng.select("__ng").distinct()
+    corpus_ng = df.select(
+        F.explode(ngram_hashes(F.col(tokens_col), n)).alias("__ng")
+    )
+    found = (
+        corpus_ng.join(F.broadcast(probe), "__ng", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        ev_ng.join(F.broadcast(found), "__ng", "left")
+        .groupBy(eval_id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_found"),
+        )
+    )
+    # per is bounded by |eval docs| — broadcast keeps the short-doc
+    # re-attach join exchange-free
+    out = ev.select(eval_id_col).join(F.broadcast(per), eval_id_col, "left")
+    n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long"))
+    n_found = F.coalesce(F.col("n_found"), F.lit(0).cast("long"))
+    ppm = F.when(
+        n_ngrams > 0, F.expr("n_found * 1000000 div n_ngrams")
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        F.col(eval_id_col),
+        n_ngrams.alias("n_ngrams"),
+        n_found.alias("n_found"),
+        ppm.alias("contamination_ppm"),
+        ((n_ngrams > 0) & (ppm >= threshold_ppm)).alias("contaminated"),
+    )
+
+
+def eval_contamination_report_sql(
+    corpus_rel: str,
+    eval_rel: str,
+    eval_id_col: str,
+    tokens_col: str = "tokens",
+    n: int = 13,
+    threshold_ppm: int = 500_000,
+) -> str:
+    """DuckDB twin of :func:`eval_contamination_report` (same dual-hash
+    family via ``ngram_hashes_sql``, same distinct-per-doc counting,
+    same exact-integer ppm)."""
+    hs = ngram_hashes_sql(tokens_col, n)
+    return f"""
+    WITH ecr_ev AS (
+        SELECT {eval_id_col}, list_distinct({hs}) AS ngs FROM {eval_rel}
+    ),
+    ecr_evng AS (
+        SELECT {eval_id_col}, unnest(ngs) AS ng FROM ecr_ev
+    ),
+    ecr_found AS (
+        SELECT DISTINCT ng
+        FROM (SELECT unnest({hs}) AS ng FROM {corpus_rel})
+        WHERE ng IN (SELECT ng FROM ecr_evng)
+    ),
+    ecr_per AS (
+        SELECT {eval_id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN ng IN (SELECT ng FROM ecr_found)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+        FROM ecr_evng GROUP BY {eval_id_col}
+    )
+    SELECT e.{eval_id_col} AS {eval_id_col},
+           COALESCE(p.n_ngrams, 0) AS n_ngrams,
+           COALESCE(p.n_found, 0) AS n_found,
+           CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                THEN COALESCE(p.n_found, 0) * 1000000 // p.n_ngrams
+                ELSE 0 END AS contamination_ppm,
+           (COALESCE(p.n_ngrams, 0) > 0 AND
+            CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                 THEN COALESCE(p.n_found, 0) * 1000000 // p.n_ngrams
+                 ELSE 0 END >= {int(threshold_ppm)}) AS contaminated
+    FROM ecr_ev e LEFT JOIN ecr_per p USING ({eval_id_col})
+    """
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

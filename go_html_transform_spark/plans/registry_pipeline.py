@@ -709,6 +709,13 @@ _BLOOM_DOC_SQL = f"""
             WHERE ng IN (SELECT unnest({DC.ngram_hashes_sql('tokens', 13)})
                          FROM doc WHERE doc_key % 41 = 0))
         UNION ALL
+        SELECT 'evalcon', CAST(doc_id[2:] AS INTEGER),
+               CAST(n_found AS INTEGER), contamination_ppm
+        FROM ({DC.eval_contamination_report_sql(
+            "(SELECT tokens FROM doc WHERE doc_key % 41 <> 0)",
+            "(SELECT doc_id, tokens FROM doc WHERE doc_key % 41 = 0)",
+            "doc_id")})
+        UNION ALL
         SELECT 'bm25_idx', CAST(bdoc[2:] AS INTEGER),
                CAST(query_id AS INTEGER), score_milli
         FROM ({R.bm25_int_sql(_BM25_QUERIES, topk=10, rel='doc')})
@@ -781,6 +788,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (decontaminate.decontaminate mode=drop, broadcast anti-join, zero
       corpus exchange): one row per SURVIVING doc vs the doc_key%41
       eval slice; cnt = n_tok
+    * evalcon — the eval-side contamination report
+      (decontaminate.eval_contamination_report): per doc of the
+      doc_key%41 eval slice, the exact-ppm fraction of its distinct
+      13-grams found in the REST of the corpus (corpus excludes the
+      slice so fractions are non-trivial); k2 = n_found, cnt = ppm —
+      zero corpus exchanges, eval set broadcast
     * bpe — bpe_apply (the Arrow-batched mapInPandas tokenizer path)
       with the fixed chained merge table _BPE_MERGES: k1 = numeric doc
       id, k2 = merged length, cnt = rolling-hash fingerprint of the
@@ -951,6 +964,17 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("k2"),
         F.col("n_tok").cast("long").alias("cnt"),
     )
+    evalcon = DC.eval_contamination_report(
+        doc.filter(F.col("doc_key") % 41 != 0).select("tokens"),
+        doc.filter(F.col("doc_key") % 41 == 0).select("doc_id", "tokens"),
+        "doc_id",
+        n=13,
+    ).select(
+        F.lit("evalcon").alias("variant"),
+        F.substring("doc_id", 2, 16).cast("int").alias("k1"),
+        F.col("n_found").cast("int").alias("k2"),
+        F.col("contamination_ppm").alias("cnt"),
+    )
     bm25_idx = _bm25_indexed_rows(spark, doc)
     bpe_rows = BPE.bpe_apply(doc.select("doc_id", "tokens"), _BPE_MERGES).select(
         F.lit("bpe").alias("variant"),
@@ -977,6 +1001,7 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bloom_doc)
         .unionByName(packed)
         .unionByName(decon)
+        .unionByName(evalcon)
         .unionByName(bm25_idx)
         .unionByName(bpe_rows)
     )

@@ -360,6 +360,85 @@ def test_decontaminate_no_corpus_exchange(spark, corpus, eval_set):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_eval_contamination_report_matches_bruteforce(spark, corpus, eval_set):
+    """Eval-side report (the model-card number): per eval doc, the
+    fraction of its distinct n-grams found anywhere in the corpus —
+    against a python set-intersection oracle on raw token tuples."""
+    rep = {
+        r.id: r
+        for r in DC.eval_contamination_report(
+            corpus, eval_set, "id", n=NGRAM
+        ).collect()
+    }
+    corpus_ngrams = set()
+    for r in corpus.collect():
+        t = r.tokens
+        corpus_ngrams.update(
+            tuple(t[i : i + NGRAM]) for i in range(len(t) - NGRAM + 1)
+        )
+    for r in eval_set.collect():
+        t = r.tokens
+        ngs = {tuple(t[i : i + NGRAM]) for i in range(len(t) - NGRAM + 1)}
+        found = len(ngs & corpus_ngrams)
+        row = rep[r.id]
+        assert row.n_ngrams == len(ngs) and row.n_found == found, r.id
+        assert row.contamination_ppm == (
+            found * 1_000_000 // len(ngs) if ngs else 0
+        )
+    # excerpts are verbatim corpus slices -> fully contaminated; the
+    # fresh docs use a disjoint token range -> clean
+    assert all(rep[1000 + i].contaminated for i in range(20))
+    assert not any(rep[2000 + i].contaminated for i in range(20))
+
+
+def test_eval_contamination_short_docs_reported_zero(spark, corpus):
+    """Eval docs shorter than n have no n-grams: reported (not dropped)
+    with n_ngrams = 0, ppm = 0, contaminated = False."""
+    ev = spark.createDataFrame(
+        [(1, [1, 2]), (2, [])], "id long, tokens array<int>"
+    )
+    rows = {
+        r.id: r
+        for r in DC.eval_contamination_report(
+            corpus, ev, "id", n=NGRAM
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    for i in (1, 2):
+        assert rows[i].n_ngrams == 0
+        assert rows[i].contamination_ppm == 0
+        assert not rows[i].contaminated
+
+
+def test_eval_contamination_report_duckdb_parity(spark, corpus, eval_set, duck):
+    eng = DC.eval_contamination_report(corpus, eval_set, "id", n=NGRAM)
+    duck.execute(
+        "CREATE OR REPLACE TABLE evalset (id BIGINT, tokens INTEGER[])"
+    )
+    duck.executemany(
+        "INSERT INTO evalset VALUES (?, ?)",
+        [(r.id, list(r.tokens)) for r in eval_set.collect()],
+    )
+    ora = duck.sql(
+        DC.eval_contamination_report_sql("corpus", "evalset", "id", n=NGRAM)
+    )
+    _strict(eng, ora)
+
+
+def test_eval_contamination_no_corpus_exchange(spark, corpus, eval_set):
+    """The corpus side must reach the broadcast semi-join unshuffled;
+    the only hash exchanges operate on the matched minority (bounded by
+    |eval n-grams|) and the per-eval-doc aggregate."""
+    plan = (
+        DC.eval_contamination_report(corpus, eval_set, "id", n=NGRAM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_assign_split_disjoint_exhaustive_stable(spark):
     """train/val/test assignment: every key gets exactly one label
     (CASE is disjoint+exhaustive), proportions track the ppm knobs, the
