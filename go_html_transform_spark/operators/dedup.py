@@ -88,9 +88,20 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     hashed = df.withColumn("__key", key).withColumn(
         "__kh", F.xxhash64(F.col("__key"))
     )
+    # min_by SKIPS rows whose ordering key is NULL — a group whose ids
+    # are all NULL would yield a NULL struct (an all-NULL output row)
+    # instead of keeping a real one. The (is_null, id) struct ordering
+    # ranks NULL ids after every real id and is itself never NULL, so
+    # such groups still keep an actual row (matching the old window
+    # form's NULLS-FIRST keep-one behavior in spirit: exactly one
+    # survivor per group, min non-null id preferred).
+    order = F.struct(
+        F.col(id_col).isNull().cast("int").alias("n"),
+        F.col(id_col).alias("i"),
+    )
     kept = (
         hashed.groupBy("__kh", "__key")
-        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .agg(F.min_by(F.struct(*df.columns), order).alias("__row"))
         .select("__row.*")
     )
     return kept

@@ -51,6 +51,24 @@ def test_exact_dedup_hash_collisions_stay_correct(spark, monkeypatch):
     assert {r.doc_id for r in kept.collect()} == {"a", "c", "d"}
 
 
+def test_exact_dedup_null_ids_keep_a_real_row(spark):
+    """min_by skips NULL ordering keys, so an unguarded form emits an
+    all-NULL row for a group whose ids are all NULL. The (is_null, id)
+    ordering must keep exactly one REAL row per group, preferring the
+    min non-null id in mixed groups."""
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), ("b", "y"), (None, "y"), ("a", "y")],
+        "doc_id string, text string",
+    )
+    kept = D.exact_dedup(df, "doc_id", F.col("text")).collect()
+    by_text = {r.text: r for r in kept}
+    assert len(kept) == 2
+    # all-NULL group: one real row survives (text intact, id NULL)
+    assert by_text["x"].doc_id is None and by_text["x"].text == "x"
+    # mixed group: min non-null id wins over the NULL id
+    assert by_text["y"].doc_id == "a"
+
+
 def test_minhash_identical_signatures(spark, corpus):
     sigs = {
         r.doc_id: list(r.sig)
