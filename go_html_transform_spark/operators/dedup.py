@@ -439,7 +439,16 @@ def ngram_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity (interpreted-HOF form — zip_with/aggregate are
+    CodegenFallback, so this costs ~3*dim interpreted ops per call).
+    ``dim`` is accepted for signature stability and ignored: unrolling
+    the fold into 3*dim scalar terms was tried and REJECTED — at dim=64
+    the generated Java exceeds the compiler limits, codegen fails, and
+    the giant tree interprets SLOWER than the HOF form. The vectorized
+    scale path for cosine-heavy stages is the Arrow kernel tier instead
+    (ivf_assign(use_arrow=True), semantic_dup_pairs(use_arrow=True):
+    batch matmul per Arrow batch/cluster)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -453,6 +462,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force within-corpus cosine near-dup pairs (the O(n^2) baseline;
     the LSH-bucketed scale path lives in operators/similarity.py)."""
@@ -511,6 +521,7 @@ def embedding_lsh_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 6,
     tables: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs — the scale path twin of
     ``embedding_near_duplicates``: same verify predicate (true cosine >=
@@ -687,6 +698,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup candidate stage (Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embedding space, then compare pairs ONLY within a
@@ -697,18 +709,34 @@ def semantic_dup_pairs(
     only).
 
     Scale shape: the assignment is the zero-shuffle ``ivf_assign`` map
-    pass; the only exchange is the self-equi-join keyed on centroid_id.
-    Per-cluster work is quadratic in cluster size, so k is the knob:
-    pick k ~ n/target_cluster_size (the paper runs k=50k over 5B docs)
-    and the Lloyd-trained codebook (``similarity.ivf_trained_centroids``)
+    pass; the only exchange is keyed on centroid_id. Per-cluster work is
+    quadratic in cluster size, so k is the knob: pick
+    k ~ n/target_cluster_size (the paper runs k=50k over 5B docs) and
+    the Lloyd-trained codebook (``similarity.ivf_trained_centroids``)
     keeps clusters balanced; a degenerate hot cluster is bounded by the
     same salting machinery as any skewed equi-join. Seeded centroids stay
-    the DuckDB-oracle anchor (assignment reproducible cross-engine)."""
+    the DuckDB-oracle anchor (assignment reproducible cross-engine).
+
+    ``use_arrow=True`` is the SCALE path for the pair stage: one
+    ``applyInPandas`` per cluster computing the pair cosines as a
+    blocked numpy matmul instead of the self-join — the join
+    materializes sum_c |c|^2 candidate ROWS each carrying two full
+    vectors (the measured bottleneck: ~1 KB/candidate at dim=64, row
+    materialization dominating, not arithmetic), while the kernel ships
+    each vector ONCE per cluster and the c x c cosine block is BLAS.
+    Same pair set and same rounded cos up to float summation order
+    (matmul vs sequential fold — parity-pinned with tolerance in
+    tests); the expression form stays the default because the DuckDB
+    oracle replays ITS fold order bit-exactly."""
     from go_html_transform_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(emb, centroids, id_col, vec_col, out_col="cid").select(
+    assigned = ivf_assign(
+        emb, centroids, id_col, vec_col, out_col="cid", use_arrow=use_arrow
+    ).select(
         "cid", F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    if use_arrow:
+        return _semantic_dup_pairs_arrow(assigned, id_col, threshold)
     a = assigned.select("cid", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
     b = assigned.select(
         F.col("cid").alias("cid_b"), F.col("__id").alias("id_b"), F.col("__v").alias("vb")
@@ -721,6 +749,68 @@ def semantic_dup_pairs(
         .filter(F.col("__c") >= threshold)
         .select("cid", "id_a", "id_b", F.round("__c", 6).alias("cos"))
     )
+
+
+def _semantic_dup_pairs_arrow(
+    assigned: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-cluster pair cosines as a blocked numpy matmul. One Arrow
+    batch per cluster (vectors ship once, not once per pair); the c x c
+    similarity block is computed in row-blocks so peak memory stays
+    ~block x c doubles even for a degenerate hot cluster. Zero-norm
+    vectors score 0.0 against everything (the ``cosine`` guard) and so
+    never pass a positive threshold."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = assigned.schema["__id"].dataType.simpleString()
+    out_schema = (
+        f"cid int, id_a {id_type}, id_b {id_type}, cos double"
+    )
+    thr = float(threshold)
+    BLOCK = 1024
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cid": [], "id_a": [], "id_b": [], "cos": []}
+            ).astype({"cid": "int32", "cos": "float64"})
+        # sort by id so emitted (row_i < row_j) pairs satisfy id_a < id_b
+        # under the same ordering the join form uses
+        pdf = pdf.sort_values("__id", kind="mergesort", ignore_index=True)
+        V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        Vn = V / safe[:, None]
+        Vn[norms == 0.0] = 0.0
+        ids = pdf["__id"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, BLOCK):
+            hi = min(lo + BLOCK, n)
+            C = Vn[lo:hi] @ Vn.T  # (hi-lo) x n
+            for r in range(lo, hi):
+                row = C[r - lo, r + 1 :]
+                m = np.nonzero(row >= thr)[0]
+                if len(m):
+                    out_a.append(np.full(len(m), ids[r]))
+                    out_b.append(ids[r + 1 + m])
+                    out_c.append(row[m])
+        if not out_a:
+            return pd.DataFrame(
+                {"cid": [], "id_a": [], "id_b": [], "cos": []}
+            ).astype({"cid": "int32", "cos": "float64"})
+        return pd.DataFrame(
+            {
+                "cid": np.int32(cid),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.round(np.concatenate(out_c), 6),
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(fn, out_schema)
 
 
 def semantic_dedup_keep(

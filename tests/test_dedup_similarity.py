@@ -51,6 +51,54 @@ def test_exact_dedup_hash_collisions_stay_correct(spark, monkeypatch):
     assert {r.doc_id for r in kept.collect()} == {"a", "c", "d"}
 
 
+def test_semantic_dup_pairs_arrow_matches_expression(spark):
+    """The Arrow kernel tier (blocked numpy matmul per cluster +
+    vectorized assignment) must produce the SAME pair set as the
+    expression form and cosines equal at the rounded-6 output precision
+    (summation order may differ in final ulp — tolerance 1e-5 guards the
+    comparison; fixture thresholds sit away from achievable cosines so
+    the pair SET is ulp-stable)."""
+    import random
+
+    from go_html_transform_spark.operators.similarity import (
+        ivf_assign,
+        ivf_lloyd_centroids,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(300):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [round(x, 4) for x in base]))
+        if i % 5 == 0:  # planted near-dup
+            rows.append(
+                (1000 + i, [round(x + rng.gauss(0, 0.01), 4) for x in base])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_lloyd_centroids(emb, k=8, iters=2)
+
+    expr = D.semantic_dup_pairs(emb, cents, threshold=0.9, use_arrow=False)
+    arrow = D.semantic_dup_pairs(emb, cents, threshold=0.9, use_arrow=True)
+    se = {(r.id_a, r.id_b): (r.cid, r.cos) for r in expr.collect()}
+    sa = {(r.id_a, r.id_b): (r.cid, r.cos) for r in arrow.collect()}
+    assert set(se) == set(sa) and len(se) > 0
+    for k_, (cid_e, cos_e) in se.items():
+        cid_a, cos_a = sa[k_]
+        assert cid_e == cid_a
+        assert abs(cos_e - cos_a) < 1e-5, (k_, cos_e, cos_a)
+
+    # assignment tier parity (modulo exact argmax ties, absent here)
+    ae = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb, cents, use_arrow=False).collect()
+    }
+    aa = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb, cents, use_arrow=True).collect()
+    }
+    assert ae == aa
+
+
 def test_exact_dedup_null_ids_keep_a_real_row(spark):
     """min_by skips NULL ordering keys, so an unguarded form emits an
     all-NULL row for a group whose ids are all NULL. The (is_null, id)
