@@ -819,6 +819,7 @@ def semantic_dedup_keep(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup keep-set: drop a vector iff a SMALLER-ID vector in its
     cluster sits within the cosine threshold (greedy-by-id canonical
@@ -834,7 +835,7 @@ def semantic_dedup_keep(
     from go_html_transform_spark.operators.similarity import _lit_vec, ivf_assign
 
     losers = (
-        semantic_dup_pairs(emb, centroids, threshold, id_col, vec_col)
+        semantic_dup_pairs(emb, centroids, threshold, id_col, vec_col, use_arrow)
         .select(F.col("id_b").alias("__loser"))
         .distinct()
     )
