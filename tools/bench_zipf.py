@@ -115,6 +115,14 @@ def main() -> None:
         ).count(),
     )
     out["semdedup_pairs"] = sem
+    sem_a = timed(
+        "semdedup_pairs_arrow",
+        lambda: D.semantic_dup_pairs(
+            emb, cents, threshold=0.9, id_col="doc_key", use_arrow=True
+        ).count(),
+    )
+    out["semdedup_pairs_arrow"] = sem_a
+    assert sem_a == sem, (sem, sem_a)  # identical pair count, both tiers
 
     queries = [(0, [1, 5, 37]), (1, [2, 113, 854]), (2, [9, 407, 3021])]
     timed(
