@@ -100,33 +100,50 @@ def main() -> None:
             for j, f in enumerate(files):
                 os.rename(f, os.path.join(src, f"batch-{j:03d}.parquet"))
 
-        es = (
-            spark.readStream.schema(left.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(lsrc)
-        )
-        ls = (
-            spark.readStream.schema(right.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(rsrc)
-        )
-        out = ST.run_available_now(
+        def streams():
+            es = (
+                spark.readStream.schema(left.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(lsrc)
+            )
+            ls = (
+                spark.readStream.schema(right.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(rsrc)
+            )
+            return es, ls
+
+        # both stateful variants: the single-table operator and the
+        # k-table operator driven with k=1 exercise distinct fill/state
+        # code paths
+        es, ls = streams()
+        single = ST.run_available_now(
             ST.streaming_asof_enrich_stateful(es, ls),
             f"fuzz_asof_st_{seed}",
             output_mode="append",
         )
-        got = {r.event_id: r.label_value for r in out.collect()}
-        checks += len(want)
-        if set(got) != set(want):
-            failures.append((seed, "row-set", len(got), len(want)))
-        else:
+        es, ls = streams()
+        many = ST.run_available_now(
+            ST.streaming_asof_enrich_many_stateful(es, {"lab": ls}),
+            f"fuzz_asof_many_{seed}",
+            output_mode="append",
+        )
+        for tag, out, col in (
+            ("single", single, "label_value"),
+            ("many", many, "lab_label_value"),
+        ):
+            got = {r.event_id: r[col] for r in out.collect()}
+            checks += len(want)
+            if set(got) != set(want):
+                failures.append((seed, tag, "row-set", len(got), len(want)))
+                continue
             for k, ev in want.items():
                 gv = got[k]
                 ok = (gv is None and ev is None) or (
                     gv is not None and ev is not None and gv == ev
                 )
                 if not ok:
-                    failures.append((seed, cuts, k, gv, ev))
+                    failures.append((seed, tag, cuts, k, gv, ev))
         shutil.rmtree(root, ignore_errors=True)
     for f in failures[:20]:
         print("MISMATCH", f, file=sys.stderr)
