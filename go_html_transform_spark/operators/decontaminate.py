@@ -176,9 +176,11 @@ def eval_contamination_report(
     number: per evaluation document, what fraction of ITS distinct
     n-grams appears anywhere in the training corpus.
 
-    Returns (eval_id, n_ngrams, n_found, contamination_ppm,
-    contaminated): exact-integer ppm fraction (0 for docs shorter than
-    ``n``, which are reported, not dropped) and the standard
+    Returns ONE row per distinct eval_id (rows sharing an id — e.g. a
+    chunked eval doc — pool their distinct-per-row n-gram counts into a
+    single report row) with (eval_id, n_ngrams, n_found,
+    contamination_ppm, contaminated): exact-integer ppm fraction (0 for
+    docs shorter than ``n``, which are reported, not dropped) and the standard
     threshold flag (``>= threshold_ppm`` of n-grams found ⇒ treat the
     eval doc as contaminated — GPT-3 appendix-C style reporting).
 
@@ -215,8 +217,15 @@ def eval_contamination_report(
         )
     )
     # per is bounded by |eval docs| — broadcast keeps the short-doc
-    # re-attach join exchange-free
-    out = ev.select(eval_id_col).join(F.broadcast(per), eval_id_col, "left")
+    # re-attach join exchange-free. The id side is DISTINCT: duplicate
+    # eval_id values (several rows of one logical eval doc) yield ONE
+    # report row whose n-grams pool across those rows — without the
+    # distinct the pooled row would be emitted once per input row.
+    out = (
+        ev.select(eval_id_col)
+        .distinct()
+        .join(F.broadcast(per), eval_id_col, "left")
+    )
     n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long"))
     n_found = F.coalesce(F.col("n_found"), F.lit(0).cast("long"))
     ppm = F.when(
@@ -272,7 +281,8 @@ def eval_contamination_report_sql(
             CASE WHEN COALESCE(p.n_ngrams, 0) > 0
                  THEN COALESCE(p.n_found, 0) * 1000000 // p.n_ngrams
                  ELSE 0 END >= {int(threshold_ppm)}) AS contaminated
-    FROM ecr_ev e LEFT JOIN ecr_per p USING ({eval_id_col})
+    FROM (SELECT DISTINCT {eval_id_col} FROM ecr_ev) e
+    LEFT JOIN ecr_per p USING ({eval_id_col})
     """
 
 

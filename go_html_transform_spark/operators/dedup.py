@@ -759,7 +759,18 @@ def _semantic_dup_pairs_arrow(
     similarity block is computed in row-blocks so peak memory stays
     ~block x c doubles even for a degenerate hot cluster. Zero-norm
     vectors score 0.0 against everything (the ``cosine`` guard) and so
-    never pass a positive threshold."""
+    never pass a positive threshold.
+
+    Pair orientation parity: the join form orders ids with Spark's
+    binary UTF8 comparison (``id_a < id_b``), so string ids here sort on
+    their UTF-8 encoded BYTES — by construction the same ordering
+    (UTF-8 is code-point order-preserving, so this also coincides with
+    Python's default str comparison for well-formed strings; encoding
+    makes the parity explicit instead of comparator-dependent, e.g.
+    Java's UTF-16 code-unit order would NOT match). NULL ids are
+    dropped up front: the join form's ``id_a < id_b`` predicate is NULL
+    for them, so they never appear in a pair there either — and pandas
+    cannot sort a None against strings anyway."""
     import numpy as np
     import pandas as pd
 
@@ -771,14 +782,23 @@ def _semantic_dup_pairs_arrow(
     BLOCK = 1024
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["__id"].notna()]
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
                 {"cid": [], "id_a": [], "id_b": [], "cos": []}
             ).astype({"cid": "int32", "cos": "float64"})
         # sort by id so emitted (row_i < row_j) pairs satisfy id_a < id_b
-        # under the same ordering the join form uses
-        pdf = pdf.sort_values("__id", kind="mergesort", ignore_index=True)
+        # under the same ordering the join form uses: UTF-8 bytes for
+        # strings (Spark's BinaryComparator), natural order otherwise
+        key = (
+            (lambda s: s.map(lambda x: x.encode("utf-8")))
+            if pdf["__id"].dtype == object
+            else None
+        )
+        pdf = pdf.sort_values(
+            "__id", kind="mergesort", ignore_index=True, key=key
+        )
         V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
         norms = np.linalg.norm(V, axis=1)
         safe = np.where(norms == 0.0, 1.0, norms)

@@ -232,7 +232,18 @@ def ivf_assign(
     Ties and zero-norm rows resolve to the min centroid id in both
     forms; argmax values may differ in final-ulp from the expression
     fold (matmul summation order), so the expression form remains the
-    DuckDB-oracle anchor."""
+    DuckDB-oracle anchor.
+
+    Both forms emit the assignment as int32 (the expression form's
+    ``.cast("int")``, the kernel's ``returnType='int'``), so centroid
+    ids outside int32 would silently wrap — validated here instead of
+    discovered as a wrong cluster id downstream."""
+    _I32 = 2**31
+    bad = [cid for cid, _ in centroids if not (-_I32 <= cid < _I32)]
+    if bad:
+        raise ValueError(
+            f"ivf_assign emits int32 centroid ids; out-of-range: {bad[:3]}"
+        )
     if use_arrow:
         import numpy as np
         import pandas as pd

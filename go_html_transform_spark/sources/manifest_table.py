@@ -13,10 +13,19 @@ Layout:
 A manifest lists every data file live in that snapshot with its row
 count and per-column [min, max] stats read from the PARQUET FOOTER via
 pyarrow — no data scan (exactly how Iceberg builds manifests). Commits
-are atomic: the manifest is written first, then the VERSION pointer is
-os.replace()'d — a reader never observes a half-commit, and a killed
-writer leaves the table at its previous snapshot (the orphaned data dir
-is unreachable garbage, as in Iceberg before expire_snapshots).
+are atomic AT THE MANIFEST PUBLISH: the manifest document is fully
+written to a unique tmp file, then os.link()'d to its final
+``snap-<n>.json`` name — the link either claims the snapshot id with
+complete content or fails with FileExistsError (the optimistic-
+concurrency loser; Iceberg's catalog swap, played by the filesystem's
+atomic link). There is NO window in which a half-written or deletable
+manifest is visible, so no crash-recovery path ever removes a file a
+live writer may have just published (the lost-update race a
+delete-and-retake recovery scheme allows). A killed writer leaves only
+an inert ``*.tmp`` (plus unreachable data files) — garbage, never a
+wedge. ``VERSION`` is a best-effort convenience cache of the newest
+snapshot id for humans/tools; readers derive the current snapshot from
+the manifest listing and never trust VERSION.
 
 Why this matters at 10^12 rows: ``scan`` prunes FILES from the manifest
 stats before Spark ever lists a directory — a predicate on the sort/
@@ -105,12 +114,24 @@ class ManifestTable:
     # -- snapshot bookkeeping ------------------------------------------------
 
     def current_snapshot_id(self) -> int:
-        """0 = empty table (no committed snapshot)."""
+        """0 = empty table (no committed snapshot). Derived from the
+        manifest listing (the commit point), not the VERSION cache: a
+        writer killed between publishing ``snap-<n>.json`` and
+        refreshing VERSION has still committed, and expire_snapshots
+        never removes the newest manifest, so max(listing) is exact.
+        O(#snapshots) listing — planning-side metadata, not data."""
+        best = 0
         try:
-            with open(os.path.join(self.root, _VERSION)) as f:
-                return int(f.read().strip())
+            names = os.listdir(os.path.join(self.root, "manifests"))
         except FileNotFoundError:
             return 0
+        for name in names:
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[5:-5]))
+                except ValueError:
+                    continue
+        return best
 
     def _manifest_path(self, snap: int) -> str:
         return os.path.join(self.root, "manifests", f"snap-{snap}.json")
@@ -145,39 +166,40 @@ class ManifestTable:
             ],
         }
         # optimistic concurrency (Iceberg's commit contract): the manifest
-        # for snapshot N+1 is created with O_EXCL, so of two writers that
-        # both read parent N, exactly one commits and the other FAILS
-        # loudly (retry = re-read the new parent and re-commit) instead of
-        # silently overwriting the winner's manifest and orphaning its
-        # data files.
-        # Crash recovery: a manifest for `snap` with VERSION still at
-        # `parent` is a half-commit orphaned by a writer killed between
-        # manifest write and pointer swap — remove it and take its place
-        # (its data files stay unreachable garbage, same as any killed
-        # writer). A manifest whose snapshot VERSION already reached is a
-        # live concurrent commit: fail loudly.
-        for attempt in range(2):
-            try:
-                with open(self._manifest_path(snap), "x") as f:
-                    json.dump(doc, f)
-                break
-            except FileExistsError:
-                if self.current_snapshot_id() >= snap or attempt == 1:
-                    raise ConcurrentCommitError(
-                        f"snapshot {snap} was committed by a concurrent "
-                        f"writer (parent {parent} is stale); re-read and "
-                        f"retry"
-                    ) from None
-                try:
-                    os.remove(self._manifest_path(snap))
-                except FileNotFoundError:
-                    pass
-        # atomic pointer swap: readers see the old or the new snapshot,
-        # never a torn state
-        tmp = os.path.join(self.root, _VERSION + ".tmp")
+        # is FULLY written under a unique tmp name (no contention), then
+        # os.link()'d to snap-<n>.json — an atomic claim of the snapshot
+        # id that publishes complete content in the same instant. Of two
+        # writers that both read parent N, exactly one link succeeds; the
+        # loser FAILS loudly (retry = re-read the new parent and
+        # re-commit). Nothing in the commit path ever deletes a published
+        # manifest, so there is no window where a live writer's commit
+        # can be removed by a "recovery" pass (the lost-update race of a
+        # delete-and-retake scheme), and readers can never hit a
+        # momentarily-missing manifest. A writer killed mid-commit leaves
+        # only its tmp file — inert garbage, never a wedge, reclaimed by
+        # expire_snapshots.
+        tmp = self._manifest_path(snap) + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
+            json.dump(doc, f)
+        try:
+            os.link(tmp, self._manifest_path(snap))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {snap} was committed by a concurrent "
+                f"writer (parent {parent} is stale); re-read and retry"
+            ) from None
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+        # best-effort VERSION cache refresh (advisory only — readers use
+        # the manifest listing); os.replace keeps it never-torn, and a
+        # stale value from an out-of-order racing refresh is harmless
+        vtmp = os.path.join(self.root, _VERSION + f".{uuid.uuid4().hex}.tmp")
+        with open(vtmp, "w") as f:
             f.write(str(snap))
-        os.replace(tmp, os.path.join(self.root, _VERSION))
+        os.replace(vtmp, os.path.join(self.root, _VERSION))
         return snap
 
     # -- writes ---------------------------------------------------------------
@@ -339,6 +361,21 @@ def expire_snapshots(table: ManifestTable, keep_last: int = 2) -> dict:
             os.remove(table._manifest_path(s))
         except FileNotFoundError:
             pass
+    # reclaim inert tmp files from killed/losing writers; the age gate
+    # keeps a LIVE writer's about-to-be-linked tmp out of reach (a link
+    # source removed pre-link just fails that commit loudly, but an hour
+    # of slack makes even that unreachable in practice)
+    mdir = os.path.join(table.root, "manifests")
+    import time
+
+    for name in os.listdir(mdir):
+        if name.endswith(".tmp"):
+            p = os.path.join(mdir, name)
+            try:
+                if time.time() - os.path.getmtime(p) > 3600:
+                    os.remove(p)
+            except FileNotFoundError:
+                pass
     return {"expired": len(expired), "deleted_files": len(dead)}
 
 
@@ -353,7 +390,7 @@ def stream_to_table(
     """Streaming ingestion with atomic snapshots: every micro-batch
     commits one table append via ``foreachBatch``, EXACTLY ONCE — the
     batch's epoch id rides INSIDE the manifest document, so epoch and
-    data commit in the same atomic VERSION swap: a writer killed at any
+    data commit in the same atomic manifest publish: a writer killed at any
     point either committed the whole batch (epoch visible -> replay
     skipped) or none of it (orphaned data files, invisible). Structured
     Streaming's foreachBatch is at-least-once after restarts; the

@@ -576,3 +576,39 @@ def test_chunk_documents_arg_validation(spark, corpus):
         PK.chunk_documents(corpus, window=4, stride=0)
     with pytest.raises(ValueError, match="collision"):
         PK.chunk_documents(corpus.withColumn("chunk_idx", F.lit(1)), window=4)
+
+
+def test_eval_contamination_report_duplicate_eval_ids_pool_once(spark, corpus):
+    """ADVICE r4: rows sharing an eval_id (a chunked eval doc) must
+    yield ONE report row pooling their n-grams — not one duplicated
+    pooled row per input row; DuckDB twin in lockstep."""
+    import duckdb
+
+    tok = [r.tokens for r in corpus.limit(2).collect()]
+    # two rows share id 1; one unique id 2
+    rows = [(1, tok[0]), (1, tok[1]), (2, tok[0])]
+    ev = spark.createDataFrame(rows, "id long, tokens array<int>")
+    rep = DC.eval_contamination_report(corpus, ev, "id", n=NGRAM)
+    got = {r.id: r for r in rep.collect()}
+    assert set(got) == {1, 2} and rep.count() == 2
+
+    con = duckdb.connect()
+    import pandas as pd  # noqa: F401
+
+    con.register("corpus_pd", corpus.toPandas())
+    con.register("evalset_pd", ev.toPandas())
+    con.execute("CREATE VIEW corpus AS SELECT * FROM corpus_pd")
+    con.execute("CREATE VIEW evalset AS SELECT * FROM evalset_pd")
+    sql = DC.eval_contamination_report_sql("corpus", "evalset", "id", n=NGRAM)
+    oracle = {
+        r[0]: r
+        for r in con.execute(sql).fetchall()
+    }
+    assert set(oracle) == {1, 2}
+    for k in got:
+        assert (
+            got[k].n_ngrams,
+            got[k].n_found,
+            got[k].contamination_ppm,
+            got[k].contaminated,
+        ) == tuple(oracle[k][1:5])

@@ -845,3 +845,51 @@ def test_semantic_dedup_composes_with_trained_centroids(spark):
         b for b in dropped
         if any(r.id_b == b and r.id_a < b for r in pairs)
     }
+
+
+def test_semantic_dup_pairs_arrow_string_ids_with_nulls(spark):
+    """ADVICE r4: the Arrow tier must orient (id_a, id_b) exactly like
+    the join form's binary-UTF8 ``id_a < id_b`` for STRING ids
+    (including non-ASCII), and NULL ids must neither crash the pandas
+    sort nor appear in any pair — matching the join form, where the
+    NULL comparison excludes them."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    names = ["zeta", "Alpha", "éclair", "中文", "\U00010348id", "beta"]
+    rows = []
+    for i, nm in enumerate(names):
+        rows.append((nm, [round(x + rng.gauss(0, 0.005), 4) for x in base]))
+    rows.append((None, [round(x, 4) for x in base]))  # NULL id
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = [(0, base)]
+
+    expr = D.semantic_dup_pairs(emb, cents, threshold=0.9, use_arrow=False)
+    arrow = D.semantic_dup_pairs(emb, cents, threshold=0.9, use_arrow=True)
+    se = {(r.id_a, r.id_b) for r in expr.collect()}
+    sa = {(r.id_a, r.id_b) for r in arrow.collect()}
+    assert se == sa and len(se) == len(names) * (len(names) - 1) // 2
+    assert all(a is not None and b is not None for a, b in sa)
+    # orientation matches the UTF-8 byte order Spark's < uses
+    for a, b in sa:
+        assert a.encode("utf-8") < b.encode("utf-8")
+
+
+def test_ivf_assign_rejects_int32_overflow_centroid_ids(spark):
+    """ADVICE r4: both ivf_assign forms emit int32 assignments; centroid
+    ids outside int32 must raise instead of silently wrapping."""
+    import pytest as _pytest
+
+    from go_html_transform_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bad = [(2**31, [1.0, 0.0])]
+    with _pytest.raises(ValueError, match="int32"):
+        ivf_assign(emb, bad, use_arrow=False)
+    with _pytest.raises(ValueError, match="int32"):
+        ivf_assign(emb, bad, use_arrow=True)
+    ok = ivf_assign(emb, [(2**31 - 1, [1.0, 0.0])], use_arrow=False)
+    assert ok.collect()[0].centroid_id == 2**31 - 1

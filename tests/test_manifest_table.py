@@ -126,20 +126,47 @@ def test_concurrent_commit_loses_loudly(spark, table):
     assert table.scan(spark).count() == 20
 
 
-def test_orphan_manifest_from_crashed_writer_is_recovered(spark, table):
-    """A writer killed BETWEEN manifest write and pointer swap leaves a
-    half-commit manifest at parent+1 with VERSION still at parent. The
-    next commit must recognize it as an orphan (VERSION never reached
-    it), replace it, and succeed — not wedge the table forever."""
+def test_crashed_writer_tmp_never_wedges(spark, table):
+    """A writer killed BEFORE the atomic manifest link leaves only a
+    unique ``*.tmp`` in manifests/ — invisible to readers, and the next
+    commit claims the snapshot id normally (no wedge, no recovery path
+    that could delete a live writer's published manifest)."""
     table.append(_range_df(spark, 0, 10))
-    # simulate the half-commit: manifest exists, VERSION not swapped
-    with open(table._manifest_path(2), "w") as f:
+    # simulate the kill: fully-written manifest content under a tmp name
+    with open(table._manifest_path(2) + ".deadbeef.tmp", "w") as f:
         f.write('{"snapshot_id": 2, "parent_id": 1, "files": []}')
     assert table.current_snapshot_id() == 1
     s2 = table.append(_range_df(spark, 10, 25))
     assert s2 == 2
     assert table.current_snapshot_id() == 2
     assert table.scan(spark).count() == 25
+
+
+def test_published_manifest_survives_stale_version_cache(spark, table):
+    """The VERSION file is an advisory cache: a writer killed between
+    manifest publish and VERSION refresh HAS committed — readers derive
+    the snapshot from the manifest listing, and a stale (or missing)
+    VERSION changes nothing. A second writer with the stale parent must
+    lose loudly WITHOUT touching the published manifest (the lost-update
+    race of delete-and-retake orphan recovery)."""
+    from go_html_transform_spark.sources.manifest_table import (
+        ConcurrentCommitError,
+    )
+
+    table.append(_range_df(spark, 0, 10))
+    table.append(_range_df(spark, 10, 30))  # snapshot 2 published
+    # simulate A killed pre-refresh / cache loss: VERSION gone entirely
+    os.remove(os.path.join(table.root, "VERSION"))
+    assert table.current_snapshot_id() == 2
+    assert table.scan(spark).count() == 30
+    before = open(table._manifest_path(2)).read()
+    # B raced A with the same parent: must fail loudly, manifest intact
+    stale_files = table._write_data(_range_df(spark, 30, 40), None)
+    with pytest.raises(ConcurrentCommitError):
+        table._commit(stale_files, parent=1)
+    assert open(table._manifest_path(2)).read() == before
+    assert table.current_snapshot_id() == 2
+    assert table.scan(spark).count() == 30
 
 
 def test_empty_prune_result_yields_empty_frame(spark, table):
