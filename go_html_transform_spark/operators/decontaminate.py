@@ -196,8 +196,13 @@ def eval_contamination_report(
         F.col(eval_id_col),
         F.array_distinct(ngram_hashes(F.col(tokens_col), n)).alias("__ngs"),
     )
-    ev_ng = ev.select(eval_id_col, F.explode("__ngs").alias("__ng"))
-    probe = ev_ng.select("__ng").distinct()
+    # explode_outer: a row whose doc is shorter than n (empty __ngs)
+    # still yields one NULL-n-gram row, so the per-id groupBy below
+    # covers EVERY distinct eval id in one pass — no re-attach join, and
+    # duplicate eval_id values (a chunked eval doc) pool into exactly
+    # one report row instead of one duplicated pooled row per input row
+    ev_ng = ev.select(eval_id_col, F.explode_outer("__ngs").alias("__ng"))
+    probe = ev_ng.filter(F.col("__ng").isNotNull()).select("__ng").distinct()
     corpus_ng = df.select(
         F.explode(ngram_hashes(F.col(tokens_col), n)).alias("__ng")
     )
@@ -210,31 +215,21 @@ def eval_contamination_report(
         ev_ng.join(F.broadcast(found), "__ng", "left")
         .groupBy(eval_id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            # count(__ng) skips the NULL sentinel rows -> 0 for short docs
+            F.count("__ng").cast("long").alias("n_ngrams"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
             .cast("long")
             .alias("n_found"),
         )
     )
-    # per is bounded by |eval docs| — broadcast keeps the short-doc
-    # re-attach join exchange-free. The id side is DISTINCT: duplicate
-    # eval_id values (several rows of one logical eval doc) yield ONE
-    # report row whose n-grams pool across those rows — without the
-    # distinct the pooled row would be emitted once per input row.
-    out = (
-        ev.select(eval_id_col)
-        .distinct()
-        .join(F.broadcast(per), eval_id_col, "left")
-    )
-    n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long"))
-    n_found = F.coalesce(F.col("n_found"), F.lit(0).cast("long"))
+    n_ngrams = F.col("n_ngrams")
     ppm = F.when(
         n_ngrams > 0, F.expr("n_found * 1000000 div n_ngrams")
     ).otherwise(F.lit(0).cast("long"))
-    return out.select(
+    return per.select(
         F.col(eval_id_col),
-        n_ngrams.alias("n_ngrams"),
-        n_found.alias("n_found"),
+        "n_ngrams",
+        "n_found",
         ppm.alias("contamination_ppm"),
         ((n_ngrams > 0) & (ppm >= threshold_ppm)).alias("contaminated"),
     )
@@ -257,32 +252,35 @@ def eval_contamination_report_sql(
         SELECT {eval_id_col}, list_distinct({hs}) AS ngs FROM {eval_rel}
     ),
     ecr_evng AS (
-        SELECT {eval_id_col}, unnest(ngs) AS ng FROM ecr_ev
+        -- explode_outer twin: empty ngs -> one NULL sentinel row, so the
+        -- per-id GROUP BY covers every distinct id (short docs included)
+        SELECT {eval_id_col},
+               unnest(CASE WHEN len(ngs) = 0
+                           THEN [CAST(NULL AS BIGINT)] ELSE ngs END) AS ng
+        FROM ecr_ev
     ),
     ecr_found AS (
         SELECT DISTINCT ng
         FROM (SELECT unnest({hs}) AS ng FROM {corpus_rel})
-        WHERE ng IN (SELECT ng FROM ecr_evng)
-    ),
-    ecr_per AS (
+        WHERE ng IN (SELECT ng FROM ecr_evng WHERE ng IS NOT NULL)
+    )
+    SELECT {eval_id_col},
+           n_ngrams,
+           n_found,
+           CASE WHEN n_ngrams > 0
+                THEN n_found * 1000000 // n_ngrams
+                ELSE 0 END AS contamination_ppm,
+           (n_ngrams > 0 AND
+            CASE WHEN n_ngrams > 0
+                 THEN n_found * 1000000 // n_ngrams
+                 ELSE 0 END >= {int(threshold_ppm)}) AS contaminated
+    FROM (
         SELECT {eval_id_col},
-               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-               CAST(SUM(CASE WHEN ng IN (SELECT ng FROM ecr_found)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+               CAST(COUNT(ng) AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(SUM(CASE WHEN ng IN (SELECT ng FROM ecr_found)
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found
         FROM ecr_evng GROUP BY {eval_id_col}
     )
-    SELECT e.{eval_id_col} AS {eval_id_col},
-           COALESCE(p.n_ngrams, 0) AS n_ngrams,
-           COALESCE(p.n_found, 0) AS n_found,
-           CASE WHEN COALESCE(p.n_ngrams, 0) > 0
-                THEN COALESCE(p.n_found, 0) * 1000000 // p.n_ngrams
-                ELSE 0 END AS contamination_ppm,
-           (COALESCE(p.n_ngrams, 0) > 0 AND
-            CASE WHEN COALESCE(p.n_ngrams, 0) > 0
-                 THEN COALESCE(p.n_found, 0) * 1000000 // p.n_ngrams
-                 ELSE 0 END >= {int(threshold_ppm)}) AS contaminated
-    FROM (SELECT DISTINCT {eval_id_col} FROM ecr_ev) e
-    LEFT JOIN ecr_per p USING ({eval_id_col})
     """
 
 
