@@ -29,11 +29,22 @@ def _wait_quiet(max_wait: float, load_thresh: float) -> float:
     ``max_wait`` seconds. The shared VM's other tenants produce load
     spikes of 10-25 that poison a window (BENCH_r03 was captured at
     load 19 and read as a 16% regression that two quiet reruns showed
-    was ambient). Returns the load it proceeded at."""
+    was ambient). Requires TWO consecutive readings 15 s apart under the
+    threshold — a single reading can catch a momentary dip in a
+    still-decaying tail (r4's kept attempt started at load 4.18) and
+    burn an attempt on a window that was never going to be clean.
+    Returns the load it proceeded at."""
     t0 = time.time()
+    quiet_streak = 0
     while True:
         load1 = os.getloadavg()[0]
-        if load1 < load_thresh or time.time() - t0 >= max_wait:
+        if load1 < load_thresh:
+            quiet_streak += 1
+            if quiet_streak >= 2:
+                return load1
+        else:
+            quiet_streak = 0
+        if time.time() - t0 >= max_wait:
             if load1 >= load_thresh:
                 print(
                     f"# bench: still loaded ({load1:.1f}) after "
@@ -49,10 +60,14 @@ def main() -> None:
     and if the window turns out contaminated (hypervisor steal >=1% of
     busy jiffies, or ambient load >=2 at window start) retry up to
     SPARK_GRAFT_QUIET_RETRIES times, emitting the first clean result —
-    else the least-contaminated attempt flagged window_contaminated."""
-    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    else the least-contaminated attempt flagged window_contaminated.
+    Defaults raised for r5 (retries 1 -> 3, wait 600 -> 900): BENCH_r03
+    and r04 both shipped contaminated headlines that quiet same-config
+    reruns beat by ~22% — two attempts inside one decaying load tail
+    were not enough."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "900"))
     load_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
-    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "1"))
+    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "3"))
     attempts: list[dict] = []
     for i in range(retries + 1):
         _wait_quiet(max_wait, load_thresh)

@@ -111,8 +111,12 @@ def _minhash16_impl(tokens: pd.Series) -> pd.Series:
     nonempty = np.flatnonzero(lens)
     if nonempty.size:
         flat = np.concatenate([uniqs[i] for i in nonempty])
-        # (M, 16): one pass over all tokens of the batch for all 16 hashes
-        H = (flat[:, None] * A + B) % MINHASH_P
+        # (M, 16): one pass over all tokens of the batch for all 16
+        # hashes; reduce mod P BEFORE the multiply — same residues
+        # ((v % P) * a == v * a mod P) and overflow-safe for full-range
+        # int64 inputs (2^21-base packed shingles), where the raw
+        # multiply would silently wrap in numpy
+        H = ((flat % MINHASH_P)[:, None] * A + B) % MINHASH_P
         starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
         mins = np.minimum.reduceat(H, starts, axis=0)
         for j, i in enumerate(nonempty):

@@ -30,21 +30,30 @@ MINHASH_B = 69621
 SIMHASH_P = 65536
 SIMHASH_A = 40503
 SIMHASH_B = 9973
-SHINGLE_BASE = 1024  # vocab size; shingle = t0*B^2 + t1*B + t2
+# shingle = t0*B^2 + t1*B + t2 — injective iff every token id lies in
+# [0, B); B = 2^21 makes B^3 - 1 == int64 max (the largest injective
+# base), covering any realistic BPE/unigram vocab (32k/100k/1M). The
+# range is VALIDATED per row in shingles3 — the previous B=1024 silently
+# aliased distinct 3-grams on >1024-id vocabs, inflating n-gram Jaccard
+# and the KMV shingle sketch.
+SHINGLE_BASE = 2**21
 
 
 def _h(i: int, t: Column) -> Column:
-    """i-th affine hash over token id t; constants small enough that
-    a*t+b < 2^40 — safe int64 in Spark and DuckDB."""
+    """i-th affine hash over value t; t is reduced mod P before the
+    multiply ((t % P) * a == t * a (mod P) — hashes of small values
+    unchanged), so any non-negative int64 input is overflow-safe
+    (P^2 < 2^38): packed 2^21-base shingles span the full int64
+    range. Identical arithmetic in Spark and DuckDB."""
     a = (2 * i + 1) * MINHASH_A % MINHASH_P
     b = i * MINHASH_B % MINHASH_P
-    return (t.cast("long") * a + b) % MINHASH_P
+    return (t.cast("long") % MINHASH_P * a + b) % MINHASH_P
 
 
 def h_sql(i: int, t: str = "t") -> str:
     a = (2 * i + 1) * MINHASH_A % MINHASH_P
     b = i * MINHASH_B % MINHASH_P
-    return f"(CAST({t} AS BIGINT) * {a} + {b}) % {MINHASH_P}"
+    return f"(CAST({t} AS BIGINT) % {MINHASH_P} * {a} + {b}) % {MINHASH_P}"
 
 
 # ---------------------------------------------------------------------------
@@ -391,12 +400,20 @@ def simhash16_sql(tokens: str = "tokens") -> str:
 
 
 def shingles3(tokens: Column) -> Column:
-    """array<bigint> of packed 3-gram shingles (empty when n_tok < 3)."""
+    """array<bigint> of packed 3-gram shingles (empty when n_tok < 3).
+    Token ids must lie in [0, SHINGLE_BASE) — checked per row with one
+    array_min/array_max pass (NULL elements are skipped by min/max and
+    pack to NULL shingles, as before); an out-of-range id FAILS the job
+    instead of silently aliasing distinct 3-grams."""
     n = F.size(tokens)
+    ok = F.coalesce(
+        (F.array_min(tokens) >= 0) & (F.array_max(tokens) < SHINGLE_BASE),
+        F.lit(True),
+    )
     idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(
+    packed = F.transform(
         idx,
         lambda i: (
             F.element_at(tokens, i + 1).cast("long") * (SHINGLE_BASE**2)
@@ -404,11 +421,19 @@ def shingles3(tokens: Column) -> Column:
             + F.element_at(tokens, i + 3).cast("long")
         ),
     )
+    return F.when(ok, packed).otherwise(
+        F.raise_error(
+            F.lit(f"shingles3: token id outside [0, {SHINGLE_BASE})")
+        )
+    )
 
 
 def shingles3_sql(tokens: str = "tokens") -> str:
     return (
-        f"CASE WHEN len({tokens}) >= 3 THEN "
+        f"CASE WHEN NOT COALESCE(list_min({tokens}) >= 0 "
+        f"AND list_max({tokens}) < {SHINGLE_BASE}, TRUE) THEN "
+        f"error('shingles3: token id outside [0, {SHINGLE_BASE})') "
+        f"WHEN len({tokens}) >= 3 THEN "
         f"list_transform(range(len({tokens}) - 2), "
         f"i -> CAST({tokens}[i+1] AS BIGINT) * {SHINGLE_BASE**2}"
         f" + CAST({tokens}[i+2] AS BIGINT) * {SHINGLE_BASE}"
@@ -692,6 +717,9 @@ def near_dedup_keep_canonical(
 # ---------------------------------------------------------------------------
 
 
+SEM_MAX_CELL = 8192  # Arrow-tier per-task cell bound (rows)
+
+
 def semantic_dup_pairs(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -699,6 +727,9 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    max_cell: int | None = SEM_MAX_CELL,
+    sub_k: int = 16,
+    max_depth: int = 3,
 ) -> DataFrame:
     """SemDeDup candidate stage (Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embedding space, then compare pairs ONLY within a
@@ -710,24 +741,54 @@ def semantic_dup_pairs(
 
     Scale shape: the assignment is the zero-shuffle ``ivf_assign`` map
     pass; the only exchange is keyed on centroid_id. Per-cluster work is
-    quadratic in cluster size, so k is the knob: pick
+    quadratic in cluster size, so k is the first knob: pick
     k ~ n/target_cluster_size (the paper runs k=50k over 5B docs) and
     the Lloyd-trained codebook (``similarity.ivf_trained_centroids``)
-    keeps clusters balanced; a degenerate hot cluster is bounded by the
-    same salting machinery as any skewed equi-join. Seeded centroids stay
-    the DuckDB-oracle anchor (assignment reproducible cross-engine).
+    keeps clusters balanced. Seeded centroids stay the DuckDB-oracle
+    anchor (assignment reproducible cross-engine).
 
     ``use_arrow=True`` is the SCALE path for the pair stage: one
-    ``applyInPandas`` per cluster computing the pair cosines as a
+    ``applyInPandas`` task per cell computing the pair cosines as a
     blocked numpy matmul instead of the self-join — the join
     materializes sum_c |c|^2 candidate ROWS each carrying two full
     vectors (the measured bottleneck: ~1 KB/candidate at dim=64, row
     materialization dominating, not arithmetic), while the kernel ships
-    each vector ONCE per cluster and the c x c cosine block is BLAS.
+    each vector ONCE per cell and the c x c cosine block is BLAS.
     Same pair set and same rounded cos up to float summation order
     (matmul vs sequential fold — parity-pinned with tolerance in
     tests); the expression form stays the default because the DuckDB
-    oracle replays ITS fold order bit-exactly."""
+    oracle replays ITS fold order bit-exactly.
+
+    HOT-CELL GUARD (Arrow tier; ``max_cell``, default 8192): a skewed
+    codebook can leave one giant cluster — a Zipf hashed-BoW corpus
+    measurably concentrates in a hot-token direction — and an
+    applyInPandas cell is ONE task, so at 10^12 rows a 10^9-row cell
+    serializes the job no matter how fast the BLAS is. Cells over
+    ``max_cell`` rows are bounded automatically, in two regimes:
+
+    1. SEMANTIC SUB-SPLIT (``_bound_sem_cells``): re-run the argmax
+       assignment inside each oversized cell against a ``sub_k``-entry
+       sub-codebook seeded from the cell's lowest-id members, up to
+       ``max_depth`` rounds — the recursive-ivf_assign shape. Vectors
+       within the cosine threshold of each other almost always share
+       the sub-argmax, so true near-dup pairs rarely straddle a
+       boundary (recall measured in tests on planted dups); total work
+       drops from c^2 toward sum c_i^2.
+    2. EXACT TILING (``_tile_cells``): a cell STILL oversized after the
+       sub-split (e.g. one direction of near-identical vectors, which
+       no semantic split can separate — and whose pair OUTPUT is
+       irreducibly quadratic) is sliced by id-hash into ceil(c/max_cell)
+       slices and every unordered slice pair becomes its own task.
+       Pair-set EXACT (each within-cell pair lands in exactly one
+       tile), per-task rows <= 2*max_cell, and the irreducible c^2 work
+       spreads over (c/max_cell)^2 parallel tasks instead of one.
+
+    Cells at or under ``max_cell`` (every cell of the oracle fixtures)
+    are untouched, so default-on changes nothing there. The guard costs
+    up to 2*max_depth+1 extra bounded aggregations ONLY when hot cells
+    exist. ``max_cell=None`` disables it. The expression/join form
+    needs no guard: its per-cluster equi-join shuffle is AQE
+    skew-splittable like any other skewed join."""
     from go_html_transform_spark.operators.similarity import ivf_assign
 
     assigned = ivf_assign(
@@ -736,7 +797,11 @@ def semantic_dup_pairs(
         "cid", F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
     if use_arrow:
-        return _semantic_dup_pairs_arrow(assigned, id_col, threshold)
+        cells = assigned.withColumn("__cell", F.col("cid").cast("string"))
+        if max_cell is not None:
+            cells = _bound_sem_cells(cells, max_cell, sub_k, max_depth)
+        tiled = _tile_cells(cells, max_cell)
+        return _semantic_dup_pairs_arrow(tiled, id_col, threshold)
     a = assigned.select("cid", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
     b = assigned.select(
         F.col("cid").alias("cid_b"), F.col("__id").alias("id_b"), F.col("__v").alias("vb")
@@ -751,13 +816,135 @@ def semantic_dup_pairs(
     )
 
 
-def _semantic_dup_pairs_arrow(
-    assigned: DataFrame, id_col: str, threshold: float
+def _bound_sem_cells(
+    cells: DataFrame, max_cell: int, sub_k: int, max_depth: int
 ) -> DataFrame:
-    """Per-cluster pair cosines as a blocked numpy matmul. One Arrow
-    batch per cluster (vectors ship once, not once per pair); the c x c
+    """Recursive semantic sub-split of oversized cells: per round, each
+    cell over ``max_cell`` rows gets a deterministic sub-codebook (its
+    ``sub_k`` lowest-id member vectors, the ``ivf_centroids`` seeding
+    convention) and its rows re-argmax against it, extending the string
+    cell path ``"cid/s1/s2"``. Driver traffic per round is bounded by
+    sub_k x #hot cells; the corpus sees one size aggregation + one
+    seed-selection window over the HOT rows only. A cell of
+    near-identical vectors cannot split semantically (every member
+    shares the argmax) — rounds are capped at ``max_depth`` and the
+    residue is handled exactly by ``_tile_cells``."""
+    from go_html_transform_spark.operators.similarity import _lit_vec
+    from pyspark.sql import Window
+
+    df = cells
+    for _ in range(max_depth):
+        hot = [
+            r["__cell"]
+            for r in df.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cell)
+            .collect()
+        ]
+        if not hot:
+            break
+        w = Window.partitionBy("__cell").orderBy("__id")
+        seed_rows = (
+            df.filter(F.col("__cell").isin(hot))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= sub_k)
+            .select("__cell", "__rn", "__v")
+            .collect()
+        )
+        books: dict[str, list[tuple[int, list[float]]]] = {}
+        for r in seed_rows:
+            books.setdefault(r["__cell"], []).append(
+                (r["__rn"] - 1, [float(x) for x in r["__v"]])
+            )
+        expr = F.col("__cell")
+        split_any = False
+        for cell, book in books.items():
+            if len(book) < 2:
+                continue
+            split_any = True
+            scored = F.array(
+                *[
+                    F.struct(
+                        cosine(F.col("__v"), _lit_vec(cv)).alias("c"),
+                        F.lit(-sid).alias("negid"),
+                    )
+                    for sid, cv in sorted(book)
+                ]
+            )
+            sub = -F.array_max(scored)["negid"]
+            expr = F.when(
+                F.col("__cell") == cell,
+                F.concat(F.col("__cell"), F.lit("/"), sub.cast("string")),
+            ).otherwise(expr)
+        if not split_any:
+            break
+        df = df.withColumn("__cell", expr)
+    return df
+
+
+def _tile_cells(cells: DataFrame, max_cell: int | None) -> DataFrame:
+    """Exact tile decomposition of cells still over ``max_cell`` rows:
+    rows hash-slice into ns = ceil(n/max_cell) slices on id, and each
+    row replicates into the ns tasks of the unordered slice pairs its
+    slice belongs to (``cell#i#j``, i <= j). Every within-cell pair
+    lands in EXACTLY one task — (a,b) meet only in task
+    (min(sl_a,sl_b), max(sl_a,sl_b)) — so the union over tasks is the
+    exact pair set; per-task input is <= 2*max_cell rows and the hot
+    cell's irreducible c^2 block runs as (c/max_cell)^2 parallel tasks.
+    Total replicated volume for a hot cell is c*ns = c^2/max_cell rows
+    — the same order as the pair block's row traffic lower bound,
+    now spread across the cluster. Cells within bound become the single
+    task ``cell#0#0`` with no replication."""
+    hot_sizes = (
+        {
+            r["__cell"]: int(r["__n"])
+            for r in cells.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cell)
+            .collect()
+        }
+        if max_cell is not None
+        else {}
+    )
+    base_task = F.concat(F.col("__cell"), F.lit("#0#0"))
+    if not hot_sizes:
+        return cells.withColumn("__sl", F.lit(0)).withColumn(
+            "__task", base_task
+        )
+    sl_expr = F.lit(0)
+    task_arr = F.array(base_task)
+    for cell, n in hot_sizes.items():
+        ns = -(-n // max_cell)
+        sl = F.pmod(
+            F.xxhash64(F.col("__id").cast("string")), F.lit(ns)
+        ).cast("int")
+        sl_expr = F.when(F.col("__cell") == cell, sl).otherwise(sl_expr)
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(ns - 1)),
+            lambda t: F.concat(
+                F.col("__cell"),
+                F.lit("#"),
+                F.least(F.col("__sl"), t).cast("string"),
+                F.lit("#"),
+                F.greatest(F.col("__sl"), t).cast("string"),
+            ),
+        )
+        task_arr = F.when(F.col("__cell") == cell, arr).otherwise(task_arr)
+    return cells.withColumn("__sl", sl_expr).withColumn(
+        "__task", F.explode(task_arr)
+    )
+
+
+def _semantic_dup_pairs_arrow(
+    tiled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-task pair cosines as a blocked numpy matmul. One Arrow
+    batch per task (vectors ship once per task, not once per pair); the
     similarity block is computed in row-blocks so peak memory stays
-    ~block x c doubles even for a degenerate hot cluster. Zero-norm
+    ~block x c doubles. Diagonal tasks (``cell#i#i``) emit the upper
+    triangle of their rows; off-diagonal tile tasks (``cell#i#j``,
+    i < j) emit the cross-block between their two slices only — the
+    within-slice pairs belong to the diagonal tasks. Zero-norm
     vectors score 0.0 against everything (the ``cosine`` guard) and so
     never pass a positive threshold.
 
@@ -774,20 +961,28 @@ def _semantic_dup_pairs_arrow(
     import numpy as np
     import pandas as pd
 
-    id_type = assigned.schema["__id"].dataType.simpleString()
+    id_type = tiled.schema["__id"].dataType.simpleString()
     out_schema = (
         f"cid int, id_a {id_type}, id_b {id_type}, cos double"
     )
     thr = float(threshold)
     BLOCK = 1024
 
+    def _norm(V: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(V, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        Vn = V / safe[:, None]
+        Vn[norms == 0.0] = 0.0
+        return Vn
+
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf[pdf["__id"].notna()]
         n = len(pdf)
+        empty = pd.DataFrame(
+            {"cid": [], "id_a": [], "id_b": [], "cos": []}
+        ).astype({"cid": "int32", "cos": "float64"})
         if n < 2:
-            return pd.DataFrame(
-                {"cid": [], "id_a": [], "id_b": [], "cos": []}
-            ).astype({"cid": "int32", "cos": "float64"})
+            return empty
         # sort by id so emitted (row_i < row_j) pairs satisfy id_a < id_b
         # under the same ordering the join form uses: UTF-8 bytes for
         # strings (Spark's BinaryComparator), natural order otherwise
@@ -799,28 +994,58 @@ def _semantic_dup_pairs_arrow(
         pdf = pdf.sort_values(
             "__id", kind="mergesort", ignore_index=True, key=key
         )
-        V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
-        norms = np.linalg.norm(V, axis=1)
-        safe = np.where(norms == 0.0, 1.0, norms)
-        Vn = V / safe[:, None]
-        Vn[norms == 0.0] = 0.0
-        ids = pdf["__id"].to_numpy()
         cid = int(pdf["cid"].iloc[0])
+        _, ti, tj = pdf["__task"].iloc[0].rsplit("#", 2)
         out_a, out_b, out_c = [], [], []
-        for lo in range(0, n, BLOCK):
-            hi = min(lo + BLOCK, n)
-            C = Vn[lo:hi] @ Vn.T  # (hi-lo) x n
-            for r in range(lo, hi):
-                row = C[r - lo, r + 1 :]
-                m = np.nonzero(row >= thr)[0]
-                if len(m):
-                    out_a.append(np.full(len(m), ids[r]))
-                    out_b.append(ids[r + 1 + m])
-                    out_c.append(row[m])
+        if ti == tj:
+            # diagonal task: upper triangle over all rows
+            Vn = _norm(np.vstack(pdf["__v"].to_numpy()).astype("float64"))
+            ids = pdf["__id"].to_numpy()
+            for lo in range(0, n, BLOCK):
+                hi = min(lo + BLOCK, n)
+                C = Vn[lo:hi] @ Vn.T  # (hi-lo) x n
+                for r in range(lo, hi):
+                    row = C[r - lo, r + 1 :]
+                    m = np.nonzero(row >= thr)[0]
+                    if len(m):
+                        out_a.append(np.full(len(m), ids[r]))
+                        out_b.append(ids[r + 1 + m])
+                        out_c.append(row[m])
+        else:
+            # off-diagonal tile: cross-block between the two slices only
+            A = pdf[pdf["__sl"] == int(ti)]
+            B = pdf[pdf["__sl"] == int(tj)]
+            if not len(A) or not len(B):
+                return empty
+            Va = _norm(np.vstack(A["__v"].to_numpy()).astype("float64"))
+            Vb = _norm(np.vstack(B["__v"].to_numpy()).astype("float64"))
+            ids_a = A["__id"].to_numpy()
+            ids_b = B["__id"].to_numpy()
+            for lo in range(0, len(A), BLOCK):
+                hi = min(lo + BLOCK, len(A))
+                C = Va[lo:hi] @ Vb.T  # (hi-lo) x |B|
+                ri, ci = np.nonzero(C >= thr)
+                if not len(ri):
+                    continue
+                a = ids_a[lo + ri]
+                b = ids_b[ci]
+                # orient each cross pair by the join form's id order
+                if a.dtype == object:
+                    enc_a = np.array([x.encode("utf-8") for x in a], dtype=object)
+                    enc_b = np.array([x.encode("utf-8") for x in b], dtype=object)
+                    swap = enc_a > enc_b
+                    keep = enc_a != enc_b
+                else:
+                    swap = a > b
+                    keep = a != b
+                lo_id = np.where(swap, b, a)[keep]
+                hi_id = np.where(swap, a, b)[keep]
+                if len(lo_id):
+                    out_a.append(lo_id)
+                    out_b.append(hi_id)
+                    out_c.append(C[ri, ci][keep])
         if not out_a:
-            return pd.DataFrame(
-                {"cid": [], "id_a": [], "id_b": [], "cos": []}
-            ).astype({"cid": "int32", "cos": "float64"})
+            return empty
         return pd.DataFrame(
             {
                 "cid": np.int32(cid),
@@ -830,7 +1055,7 @@ def _semantic_dup_pairs_arrow(
             }
         )
 
-    return assigned.groupBy("cid").applyInPandas(fn, out_schema)
+    return tiled.groupBy("__task").applyInPandas(fn, out_schema)
 
 
 def semantic_dedup_keep(
@@ -840,6 +1065,7 @@ def semantic_dedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    max_cell: int | None = SEM_MAX_CELL,
 ) -> DataFrame:
     """SemDeDup keep-set: drop a vector iff a SMALLER-ID vector in its
     cluster sits within the cosine threshold (greedy-by-id canonical
@@ -855,7 +1081,10 @@ def semantic_dedup_keep(
     from go_html_transform_spark.operators.similarity import _lit_vec, ivf_assign
 
     losers = (
-        semantic_dup_pairs(emb, centroids, threshold, id_col, vec_col, use_arrow)
+        semantic_dup_pairs(
+            emb, centroids, threshold, id_col, vec_col, use_arrow,
+            max_cell=max_cell,
+        )
         .select(F.col("id_b").alias("__loser"))
         .distinct()
     )

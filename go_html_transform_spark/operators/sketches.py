@@ -379,20 +379,23 @@ def count_min_sketch_sql(
 KMV_K = 64
 # Distinct-count hashing needs a space >> the distinct cardinality being
 # estimated (the 2^19 MINHASH_P family would saturate on n-gram spaces):
-# a ~2^40 prime with a ~2^20 multiplier keeps a*v + b < 2^51 for values
-# v < 2^31 (tokens and packed 3-gram shingles both fit) — overflow-safe
-# int64 arithmetic identical in Spark and DuckDB.
+# a ~2^40 prime with a ~2^20 multiplier. The value is reduced mod P
+# BEFORE the multiply — (v % P) * a == v * a (mod P), so hashes of
+# small values are unchanged while any non-negative int64 input stays
+# overflow-safe ((P-1) * a < 2^60): the 2^21-base packed shingles span
+# the full int64 range. Identical arithmetic in Spark and DuckDB
+# (both % operators agree on non-negative dividends).
 KMV_P = 1099511627689  # largest prime < 2^40
 KMV_A = 1048573
 KMV_B = 779230769
 
 
 def _kmv_h(v: Column) -> Column:
-    return (v.cast("long") * KMV_A + KMV_B) % KMV_P
+    return (v.cast("long") % KMV_P * KMV_A + KMV_B) % KMV_P
 
 
 def kmv_h_sql(v: str = "v") -> str:
-    return f"(CAST({v} AS BIGINT) * {KMV_A} + {KMV_B}) % {KMV_P}"
+    return f"(CAST({v} AS BIGINT) % {KMV_P} * {KMV_A} + {KMV_B}) % {KMV_P}"
 
 
 def kmv_sketch(

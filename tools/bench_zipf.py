@@ -118,11 +118,23 @@ def main() -> None:
     sem_a = timed(
         "semdedup_pairs_arrow",
         lambda: D.semantic_dup_pairs(
-            emb, cents, threshold=0.9, id_col="doc_key", use_arrow=True
+            emb, cents, threshold=0.9, id_col="doc_key", use_arrow=True,
+            max_cell=None,
         ).count(),
     )
     out["semdedup_pairs_arrow"] = sem_a
     assert sem_a == sem, (sem, sem_a)  # identical pair count, both tiers
+    # hot-cell guard on (default max_cell): oversized cells sub-split
+    # semantically then tile exactly — pair count may drop only by
+    # sub-split recall loss; report it next to the unguarded count
+    sem_g = timed(
+        "semdedup_pairs_guarded",
+        lambda: D.semantic_dup_pairs(
+            emb, cents, threshold=0.9, id_col="doc_key", use_arrow=True
+        ).count(),
+    )
+    out["semdedup_pairs_guarded"] = sem_g
+    out["semdedup_guard_pair_recall"] = round(sem_g / max(1, sem), 4)
 
     queries = [(0, [1, 5, 37]), (1, [2, 113, 854]), (2, [9, 407, 3021])]
     timed(
