@@ -37,6 +37,17 @@ strategies (never per-row Python):
     at most 2 carried rows. Bucket width is a tuning knob; carries add at
     most 2 rows per (entity, bucket).
 
+``strategy='auto'``
+    ONE sampled aggregation (default 1% of the key columns only)
+    estimates the max per-entity timeline length across both sides; if
+    it exceeds ``auto_hot_rows`` the bucketed strategy engages with a
+    bucket width derived from the observed time span so the hot
+    entity's largest (entity, bucket) task holds ~``AUTO_BUCKET_ROWS``
+    rows — otherwise the union plan runs untouched. This closes the
+    union strategy's one scale hazard: ``Window.partitionBy(entity)``
+    puts a hot entity's ENTIRE timeline in a single task, which at
+    10^12 rows serializes the stage no matter how fast the sort is.
+
 Determinism: duplicate right rows at the same (key, time) resolve to the
 row-lexicographic MAX over the value columns in every strategy — the union
 strategy picks it inside its window sort (zero extra cost); cogroup and
@@ -53,6 +64,65 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 DIRECTIONS = ("backward", "forward", "nearest")
+
+# strategy='auto' knobs: a timeline past AUTO_HOT_ROWS serializes one
+# window task badly enough to re-plan; the bucketed width then targets
+# AUTO_BUCKET_ROWS rows in the hot entity's largest (entity, bucket) task
+AUTO_HOT_ROWS = 2_000_000
+AUTO_BUCKET_ROWS = 65_536
+AUTO_SAMPLE_FRAC = 0.01
+
+
+def _auto_select(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    auto_hot_rows: int,
+    sample_frac: float = AUTO_SAMPLE_FRAC,
+) -> tuple[str, int]:
+    """Pick 'union' vs 'bucketed' from ONE sampled aggregation over the
+    key+time columns only (never the payload): per-key sampled counts
+    and the global time range partial-agg down to a single driver row.
+    Returns (strategy, bucket_seconds). The estimate needs no precision
+    — it only has to separate 'fits one task comfortably' from 'hot
+    enough to time-slice', two regimes an order of magnitude apart; the
+    deterministic seed keeps plans reproducible."""
+    u = (
+        left.select(
+            F.col(on).alias("__k"),
+            F.col(left_time).cast("timestamp").cast("long").alias("__t"),
+        )
+        .unionByName(
+            right.select(
+                F.col(on).alias("__k"),
+                F.col(right_time).cast("timestamp").cast("long").alias("__t"),
+            )
+        )
+        .sample(fraction=sample_frac, seed=7)
+    )
+    row = (
+        u.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__t").alias("__lo"),
+            F.max("__t").alias("__hi"),
+        )
+        .agg(
+            F.max("__n").alias("m"),
+            F.min("__lo").alias("lo"),
+            F.max("__hi").alias("hi"),
+        )
+        .collect()[0]
+    )
+    est_hot = int((row["m"] or 0) / sample_frac)
+    if est_hot <= auto_hot_rows:
+        return "union", 0
+    span = max(1, int((row["hi"] or 0) - (row["lo"] or 0)))
+    # width so the hot entity sees ~AUTO_BUCKET_ROWS rows per bucket
+    bsec = max(1, min(span, int(span * AUTO_BUCKET_ROWS / est_hot)))
+    return "bucketed", bsec
 
 
 def _dedupe_right(right: DataFrame, on: str, right_time: str) -> DataFrame:
@@ -263,6 +333,7 @@ def asof_join(
     bucket_seconds: int = 86400,
     num_groups: int | None = None,
     allow_exact_matches: bool = True,
+    auto_hot_rows: int = AUTO_HOT_ROWS,
 ) -> DataFrame:
     """As-of join ``left`` to ``right`` per entity ``on``.
 
@@ -275,11 +346,26 @@ def asof_join(
     (one pandas call per entity) would drown in per-group overhead at
     10^8 entities; bucketing amortizes it while the merge stays exactly
     per-entity. Defaults to 4x default parallelism.
+
+    ``strategy='auto'``: one sampled key/time aggregation decides
+    between 'union' and 'bucketed' (threshold ``auto_hot_rows`` on the
+    estimated max per-entity timeline) and sizes ``bucket_seconds``
+    from the observed span — see the module docstring. Results are
+    strategy-independent (parity-pinned), so the choice affects only
+    the physical plan.
     """
     if direction not in DIRECTIONS:
         raise ValueError(f"direction must be one of {DIRECTIONS}")
-    if strategy not in ("union", "cogroup", "bucketed"):
-        raise ValueError("strategy must be 'union', 'cogroup' or 'bucketed'")
+    if strategy not in ("auto", "union", "cogroup", "bucketed"):
+        raise ValueError(
+            "strategy must be 'auto', 'union', 'cogroup' or 'bucketed'"
+        )
+    if strategy == "auto":
+        strategy, auto_bsec = _auto_select(
+            left, right, on, left_time, right_time, auto_hot_rows
+        )
+        if strategy == "bucketed":
+            bucket_seconds = auto_bsec
 
     if strategy == "union":
         # no pre-dedupe shuffle: duplicate (key, time) right rows are

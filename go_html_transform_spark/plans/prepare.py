@@ -64,6 +64,7 @@ def prepare_training_corpus(
     min_quality_p: float = 0.5,
     dsir_target: Column | None = None,
     bpe_num_merges: int | None = None,
+    stage_times: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (prepared DataFrame, stage-by-stage stats). Writes a
     shard-partitioned parquet corpus when ``out_dir`` is given (the
@@ -120,6 +121,20 @@ def prepare_training_corpus(
     doc = S.documents_tokenized(spark, sf_dir)
     stats: dict[str, int] = {}
 
+    # ``stage_times``: optional caller-supplied dict that receives the
+    # wall seconds of each stats materialization barrier. With the
+    # persist points above each barrier, the delta at barrier k is the
+    # cost of ONLY stage k's new work — measured single-execution
+    # evidence (tools/bench_prepare.py), not just the asserted contract.
+    import time as _time
+
+    def _staged(name, fn):
+        t0 = _time.perf_counter()
+        v = fn()
+        if stage_times is not None:
+            stage_times[name] = round(_time.perf_counter() - t0, 2)
+        return v
+
     scored = doc.withColumn("lang_pred", TX.lang_id(F.col("text"))).withColumn(
         "quality_ppm", TX.quality_score_ppm(F.col("text"))
     )
@@ -147,10 +162,10 @@ def prepare_training_corpus(
             F.col("quality_p") >= min_quality_p
         ).drop("quality_p")
     if collect_stats:
-        stats["input"] = doc.count()
+        stats["input"] = _staged("input", doc.count)
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(kept)
-        stats["after_quality_lang_filter"] = kept.count()
+        stats["after_quality_lang_filter"] = _staged("after_quality_lang_filter", kept.count)
 
     if boilerplate_min_docs is not None:
         if not kept.is_cached:
@@ -165,9 +180,10 @@ def prepare_training_corpus(
             "n_tok", F.size(F.col("tokens")).cast("int")
         )
         if collect_stats:
-            stats["boilerplate_segments_removed"] = kept.agg(
-                F.sum("bp_removed")
-            ).first()[0]
+            stats["boilerplate_segments_removed"] = _staged(
+                "boilerplate_segments_removed",
+                lambda: kept.agg(F.sum("bp_removed")).first()[0],
+            )
         kept = kept.drop("bp_removed")
 
     if redact_pii:
@@ -181,7 +197,7 @@ def prepare_training_corpus(
             kept, eval_df, "doc_id", n=decontaminate_ngram, mode="drop"
         )
         if collect_stats:
-            stats["after_decontaminate"] = kept.count()
+            stats["after_decontaminate"] = _staged("after_decontaminate", kept.count)
 
     exact = D.exact_dedup(kept, "doc_id", F.col("text"))
     # `exact` always has two consumers (LSH signatures + the final
@@ -190,7 +206,7 @@ def prepare_training_corpus(
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     persisted.append(exact)
     if collect_stats:
-        stats["after_exact_dedup"] = exact.count()
+        stats["after_exact_dedup"] = _staged("after_exact_dedup", exact.count)
 
     pairs = D.minhash_near_duplicates(
         exact, "doc_id", threshold=jaccard_threshold
@@ -200,10 +216,10 @@ def prepare_training_corpus(
         # signature-space job, not a corpus pass
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(pairs)
-        stats["near_dup_pairs"] = pairs.count()
+        stats["near_dup_pairs"] = _staged("near_dup_pairs", pairs.count)
     deduped = D.near_dedup_keep_canonical(exact, pairs, "doc_id")
     if collect_stats:
-        stats["after_near_dedup"] = deduped.count()
+        stats["after_near_dedup"] = _staged("after_near_dedup", deduped.count)
 
     if lm_bucket_keep_ppm is not None:
         deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -222,7 +238,7 @@ def prepare_training_corpus(
             seed=5,
         ).drop("lm_bucket")
         if collect_stats:
-            stats["after_lm_bucket_sampling"] = deduped.count()
+            stats["after_lm_bucket_sampling"] = _staged("after_lm_bucket_sampling", deduped.count)
 
     if dsir_target is not None:
         from go_html_transform_spark.operators import selection as SELN
@@ -238,7 +254,7 @@ def prepare_training_corpus(
             F.col("selected") == 1
         ).drop("selected")
         if collect_stats:
-            stats["after_dsir_selection"] = deduped.count()
+            stats["after_dsir_selection"] = _staged("after_dsir_selection", deduped.count)
 
     if bpe_num_merges is not None:
         from go_html_transform_spark.operators import bpe as BPE
@@ -268,7 +284,7 @@ def prepare_training_corpus(
             deduped, F.col("doc_key"), "source", rates, default_ppm=0
         )
         if collect_stats:
-            stats["after_mixing"] = deduped.count()
+            stats["after_mixing"] = _staged("after_mixing", deduped.count)
 
     if split_holdout_ppm is not None:
         val_ppm, test_ppm = split_holdout_ppm

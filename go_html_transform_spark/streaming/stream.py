@@ -65,6 +65,30 @@ def stream_sequences(
     )
 
 
+def stream_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of ``sources.tables.labels``: purchase events as
+    (doc_id, obs_time, label_value) — the as-of right side, now as a
+    label STREAM for the stateful streaming enrichment operators."""
+    from go_html_transform_spark.sources.tables import _doc_id_expr
+
+    src = f"{sf_dir}/events.parquet"
+    static_events = spark.read.parquet(src)
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="ghts_stream_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+        src = d
+    e = (
+        spark.readStream.schema(static_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return e.filter(F.col("event_type") == "purchase").select(
+        _doc_id_expr(F.col("user_id")).alias("doc_id"),
+        F.col("ts").alias("obs_time"),
+        F.col("value").alias("label_value"),
+    )
+
+
 def streaming_session_counts(
     seq_stream: DataFrame,
     gap_seconds: int = 1800,

@@ -4,8 +4,11 @@ tests/test_asof_properties.py pins every (direction, tolerance,
 strictness, strategy) cell against pandas.merge_asof on hypothesis-sized
 cases (<= 25 rows/side). This tool replays the same oracle on BIGGER
 random cases — hundreds of events across a dozen entities with dense
-duplicate timestamps — sweeping every semantics cell across all three
-physical strategies (union / cogroup / bucketed) per seed.
+duplicate timestamps — sweeping every semantics cell across all four
+physical strategies (union / cogroup / bucketed / auto) per seed, with
+the bucketed width RANDOMIZED per cell (including widths far below the
+typical inter-event gap, i.e. mostly-empty buckets exercising the
+boundary-carry chain — SURVEY §4.1's one novel algorithm).
 
 Usage: python tools/fuzz_asof.py [n_seeds]
 Prints one JSON line; exits non-zero on any mismatch (printing the
@@ -103,8 +106,14 @@ def main() -> None:
                         allow_exact_matches=not strict,
                     )
                     expected = dict(zip(exp["event_id"], exp["label_value"]))
-                    for strategy in ("union", "cogroup", "bucketed"):
+                    for strategy in ("union", "cogroup", "bucketed", "auto"):
                         cells += 1
+                        # randomized width stresses the bucketed boundary
+                        # carry: 7/30 s are far below the typical per-
+                        # entity gap (~240 s) -> mostly-empty buckets with
+                        # long carry chains; 10000 s -> one bucket (pure
+                        # in-bucket path). 'auto' derives its own width.
+                        bsec = rng.choice((7, 30, 113, 300, 1200, 10_000))
                         out = asof_join(
                             left,
                             right,
@@ -114,8 +123,13 @@ def main() -> None:
                             direction=direction,
                             tolerance=tolerance,
                             strategy=strategy,
-                            bucket_seconds=300,
+                            bucket_seconds=bsec,
                             allow_exact_matches=not strict,
+                            # 'auto': any non-empty sample trips the
+                            # threshold -> bucketed with derived width;
+                            # an empty sample falls back to union —
+                            # both must be correct
+                            auto_hot_rows=1,
                         )
                         got = {r.event_id: r.label_value for r in out.collect()}
                         if set(got) != set(expected):
