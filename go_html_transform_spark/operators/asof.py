@@ -81,6 +81,7 @@ def _auto_select(
     right_time: str,
     auto_hot_rows: int,
     sample_frac: float = AUTO_SAMPLE_FRAC,
+    target_bucket_rows: int = AUTO_BUCKET_ROWS,
 ) -> tuple[str, int]:
     """Pick 'union' vs 'bucketed' from ONE sampled aggregation over the
     key+time columns only (never the payload): per-key sampled counts
@@ -120,8 +121,8 @@ def _auto_select(
     if est_hot <= auto_hot_rows:
         return "union", 0
     span = max(1, int((row["hi"] or 0) - (row["lo"] or 0)))
-    # width so the hot entity sees ~AUTO_BUCKET_ROWS rows per bucket
-    bsec = max(1, min(span, int(span * AUTO_BUCKET_ROWS / est_hot)))
+    # width so the hot entity sees ~target_bucket_rows rows per bucket
+    bsec = max(1, min(span, int(span * target_bucket_rows / est_hot)))
     return "bucketed", bsec
 
 

@@ -496,7 +496,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n_tok) OVER w AS BIGINT) AS n_tok_rsum3,
                ROUND(AVG(n_tok) OVER w, 4) AS n_tok_rmean3,
                (SELECT n_tok_ewma FROM {ewma} e
-                WHERE e.event_id = seq.event_id) AS n_tok_ewma
+                WHERE e.event_id = seq.event_id) AS n_tok_ewma,
+               (SELECT ROUND(n_tok_ewma, 4) FROM {ewma} e2
+                WHERE e2.event_id = seq.event_id) AS n_tok_ewma_stream
         FROM seq
         WINDOW w AS (PARTITION BY doc_id ORDER BY event_time, event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -509,7 +511,20 @@ def window_rolling_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha=0.5) — hash-checked UNROUNDED against a DuckDB recursive-CTE
     replay of pandas' ewm state machine (bit-exact: 0.5 multiplies
     exactly, every other step is one deterministic IEEE op both engines
-    share; see ewma_recurrence_sql)."""
+    share; see ewma_recurrence_sql).
+
+    ``n_tok_ewma_stream`` closes VERDICT r4's pytest-only gap for the
+    STREAMING EWMA (streaming/stream.py:streaming_ewma, two-scalar
+    GroupState): the availableNow drain hash-checked against the same
+    recursive-CTE oracle at ROUND(.., 4). Rounded because the streaming
+    kernel's chunked q^i-rescaled cumsums associate additions
+    differently from the sequential pandas recursion the CTE replays —
+    measured max |delta| 1.4e-14 at sf0.01 (261/10000 rows differ in
+    the last ulps; ZERO rows differ after rounding on sf0.001 and
+    sf0.01, and both engines are deterministic, so the rounded row is
+    stable, not flaky)."""
+    from go_html_transform_spark.streaming import stream as ST
+
     seq = S.sequences(spark, sf_dir)
     w = W.entity_window(order_by=["event_time", "event_id"])
     out = W.rolling(seq, "n_tok", 3, aggs=("sum", "mean"), w=w)
@@ -518,11 +533,31 @@ def window_rolling_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="n_tok",
         alpha=0.5,
     ).select("event_id", "n_tok_ewma")
-    return out.select(
-        "event_id",
-        "n_tok_rsum3",
-        F.round("n_tok_rmean3", 4).alias("n_tok_rmean3"),
-    ).join(ew, "event_id")
+    sdrain = ST.run_available_now(
+        ST.streaming_ewma(
+            ST.stream_sequences(spark, sf_dir).select(
+                "doc_id",
+                "event_id",
+                F.col("event_time").cast("timestamp").alias("event_time"),
+                "n_tok",
+            ),
+            "n_tok",
+            alpha=0.5,
+        ),
+        "reg_ewma_stream",
+        output_mode="append",
+    ).select(
+        "event_id", F.round("n_tok_ewma", 4).alias("n_tok_ewma_stream")
+    )
+    return (
+        out.select(
+            "event_id",
+            "n_tok_rsum3",
+            F.round("n_tok_rmean3", 4).alias("n_tok_rmean3"),
+        )
+        .join(ew, "event_id")
+        .join(sdrain, "event_id")
+    )
 
 
 @register(

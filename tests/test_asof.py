@@ -674,7 +674,13 @@ def test_asof_auto_select_decision_and_bucket_width(spark):
         (max(t for _, t, _ in left + right) - min(t for _, t, _ in left + right)).total_seconds()
     )
     assert 1 <= bsec <= span
-    # the derived width actually time-slices the hot timeline
-    hot_left = [t for d, t, _ in left if d == "hot"]
-    hot_span = int((max(hot_left) - min(hot_left)).total_seconds())
-    assert hot_span // bsec >= 1
+    # at fixture scale (est_hot ~700 << the 64k default target) one
+    # bucket is the CORRECT answer; a small target must actually slice
+    s, bsec_small = _auto_select(
+        l, r, "doc_id", "event_time", "obs_time",
+        auto_hot_rows=100, sample_frac=1.0, target_bucket_rows=50,
+    )
+    assert s == "bucketed"
+    hot_all = [t for d, t, _ in left + right if d == "hot"]
+    hot_span = int((max(hot_all) - min(hot_all)).total_seconds())
+    assert hot_span // bsec_small >= 2, (hot_span, bsec_small)
