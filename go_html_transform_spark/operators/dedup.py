@@ -163,9 +163,21 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     use_arrow: bool | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
     One explode + one equi-join self-join on the band key.
+
+    ``max_bucket`` (default None = exact): drop band-buckets larger
+    than this many docs before the self-join — the standard production
+    LSH guard (datasketch's and Google's practice): a bucket shared by
+    10^4+ docs contributes |bucket|^2 candidate pairs from ONE join
+    key, which no partitioning can spread, while carrying almost no
+    discriminative signal (everything collides there). A true near-dup
+    pair usually shares several bands, so dropping one oversized
+    bucket rarely loses the pair (recall measured on the planted-dup
+    zipf corpus in tools/bench_prepare.py). The registry/oracle paths
+    keep None — exact candidate semantics.
 
     ``use_arrow`` picks the signature tier: the Arrow kernel
     (functions/kernels.minhash16_arrow, element-wise parity-pinned to
@@ -192,9 +204,32 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         F.explode(lsh_bands(sig, bands, rows)).alias("band"),
     )
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band")
+        )
+        # the oversized set is a handful of degenerate signatures —
+        # broadcast anti-join keeps the prune map-side
+        banded = banded.join(F.broadcast(oversized), "band", "left_anti")
     other = banded.select(F.col("id").alias("id_b"), F.col("band"))
+    # USER-keyed repartition before the band self-join: the banded rows
+    # are tiny (id + band hash), so AQE coalesces the join's shuffle to
+    # a handful of tasks — but the join OUTPUT is the candidate
+    # explosion (sum over band-buckets of |bucket|^2), which then runs
+    # inside those few tasks (measured: 4 tasks on 32 cores at 50k zipf
+    # docs). A user-specified distribution is never AQE-coalesced, so
+    # distinct band values spread over the full width. (A single
+    # degenerate band-bucket is inherently one key — that case is
+    # bounded by the verify stage's own repartition and, at corpus
+    # scale, by band width sizing: rows/band controls bucket collision
+    # probability.)
+    npart = df.sparkSession.sparkContext.defaultParallelism * 2
     pairs = (
-        banded.join(other, "band")
+        banded.repartition(npart, F.col("band"))
+        .join(other.repartition(npart, F.col("band")), "band")
         .filter(F.col("id") < F.col("id_b"))
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
@@ -249,6 +284,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     use_arrow: bool | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard >= threshold. Returns
     (id_a, id_b, jaccard). The verify join is two broadcast-able semi
@@ -263,14 +299,27 @@ def minhash_near_duplicates(
     both the double jaccard and the exact-ppm output share the two
     counts. One array op per pair instead of eight."""
     cands = minhash_lsh_candidates(
-        df, id_col, tokens_col, num_hashes, bands, use_arrow=use_arrow
+        df, id_col, tokens_col, num_hashes, bands, use_arrow=use_arrow,
+        max_bucket=max_bucket,
     )
+    # Pin the verify joins' width: AQE coalesces by the CANDIDATE set's
+    # shuffle bytes (two ids/row — tiny), but each joined row then pays
+    # an array_intersect over two full token sets, so the real work per
+    # row is ~100x the keyed bytes. Measured on the 50k-doc zipf corpus:
+    # AQE coalesced this join to 4 tasks on 32 cores — an 8x parallelism
+    # loss on the recipe's hottest stage. A USER-keyed repartition before
+    # each join survives AQE (user-specified distributions are never
+    # coalesced) and costs only an exchange of data that had to shuffle
+    # for the join anyway.
+    npart = df.sparkSession.sparkContext.defaultParallelism * 2
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(tokens_col)).alias("__t"),
     )
     paired = (
-        cands.join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__t", "ta"), "id_a")
+        cands.repartition(npart, F.col("id_a"))
+        .join(toks.withColumnRenamed("__id", "id_a").withColumnRenamed("__t", "ta"), "id_a")
+        .repartition(npart, F.col("id_b"))
         .join(toks.withColumnRenamed("__id", "id_b").withColumnRenamed("__t", "tb"), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("long")
@@ -449,13 +498,23 @@ def ngram_near_duplicates(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dups on 3-gram shingle sets: MinHash-LSH over shingles,
-    verified with shingle-set Jaccard."""
+    verified with shingle-set Jaccard.
+
+    Prefer this over raw-token ``minhash_near_duplicates`` on skewed
+    vocabularies: a Zipf head token appears in nearly every document,
+    so the per-hash MINIMUM over raw token sets is usually achieved by
+    the same few ids — signatures degenerate, band buckets go giant,
+    and token-set Jaccard saturates (measured: 9.7M "near-dup" pairs
+    at J>=0.8 across 100k unrelated zipf docs). 3-gram shingles are
+    position-composed, so their hash minima spread and buckets stay
+    discriminative — the GPT-3/Gopher-style n-gram dedup signal."""
     sh = df.select(F.col(id_col), shingles3(F.col(tokens_col)).alias("__sh"))
     return minhash_near_duplicates(
         sh, id_col, tokens_col="__sh", threshold=threshold,
-        num_hashes=num_hashes, bands=bands,
+        num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
     )
 
 

@@ -65,6 +65,8 @@ def prepare_training_corpus(
     dsir_target: Column | None = None,
     bpe_num_merges: int | None = None,
     stage_times: dict | None = None,
+    lsh_max_bucket: int | None = None,
+    near_dup_on: str = "tokens",
 ) -> tuple[DataFrame, dict]:
     """Returns (prepared DataFrame, stage-by-stage stats). Writes a
     shard-partitioned parquet corpus when ``out_dir`` is given (the
@@ -208,14 +210,31 @@ def prepare_training_corpus(
     if collect_stats:
         stats["after_exact_dedup"] = _staged("after_exact_dedup", exact.count)
 
-    pairs = D.minhash_near_duplicates(
-        exact, "doc_id", threshold=jaccard_threshold
-    ).select("id_a", "id_b")
+    # near_dup_on='shingles3' switches the LSH/verify signal from raw
+    # distinct-token sets to 3-gram shingle sets — the right choice on
+    # skewed vocabularies (see ngram_near_duplicates: raw-token minhash
+    # degenerates on a Zipf head, token-set Jaccard saturates)
+    if near_dup_on == "shingles3":
+        pairs = D.ngram_near_duplicates(
+            exact, "doc_id", threshold=jaccard_threshold,
+            max_bucket=lsh_max_bucket,
+        ).select("id_a", "id_b")
+    elif near_dup_on == "tokens":
+        pairs = D.minhash_near_duplicates(
+            exact, "doc_id", threshold=jaccard_threshold,
+            max_bucket=lsh_max_bucket,
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError("near_dup_on must be 'tokens' or 'shingles3'")
+    # ALWAYS persist the pair graph (tiny relative to the corpus):
+    # connected_components iterates over it, and an unpersisted lineage
+    # would recompute the whole LSH candidate+verify pipeline on EVERY
+    # label-propagation round — measured 1.7x on the end-to-end recipe
+    # (tools/bench_prepare.py caught stats-OFF slower than stats-ON,
+    # whose count() barrier was accidentally providing this persist).
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(pairs)
     if collect_stats:
-        # the pair graph is tiny relative to the corpus; counting it is a
-        # signature-space job, not a corpus pass
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(pairs)
         stats["near_dup_pairs"] = _staged("near_dup_pairs", pairs.count)
     deduped = D.near_dedup_keep_canonical(exact, pairs, "doc_id")
     if collect_stats:

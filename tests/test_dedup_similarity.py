@@ -1048,3 +1048,53 @@ def test_shingles3_large_vocab_no_aliasing_and_range_check(spark):
     )
     with pytest.raises(Exception, match="shingles3"):
         neg.select(D.shingles3(F.col("tokens")).alias("sh")).collect()
+
+
+def test_lsh_max_bucket_prunes_degenerate_bands_only(spark):
+    """max_bucket drops oversized band-buckets before the self-join (the
+    production LSH guard). A planted near-dup pair that also shares a
+    NON-degenerate band must survive; capped candidates are a subset of
+    exact candidates."""
+    rng = random.Random(23)
+    # 60 docs sharing one low-entropy token set -> a degenerate bucket;
+    # two planted near-identical docs with a distinctive tail
+    common = [1, 2, 3, 4, 5, 6, 7, 8]
+    rows = []
+    for i in range(60):
+        rows.append((f"c{i:03d}", common + [rng.randrange(9, 12)]))
+    tail = [rng.randrange(5000, 9000) for _ in range(30)]
+    rows.append(("planted_a", tail))
+    rows.append(("planted_b", tail[:-1] + [tail[-1]]))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(df, "doc_id").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(df, "doc_id", max_bucket=20).collect()
+    }
+    assert capped <= exact
+    assert ("planted_a", "planted_b") in capped
+    # the degenerate c* clique is gone (its pairs were >= C(60,2))
+    assert len(capped) < len(exact)
+    c_pairs = [p for p in capped if p[0].startswith("c") and p[1].startswith("c")]
+    assert len(c_pairs) < 60 * 59 // 2 / 2
+
+
+def test_minhash_candidate_join_width_pinned(spark, corpus):
+    """The band self-join and verify joins must run at the user-pinned
+    width, not an AQE-coalesced handful of tasks: the join OUTPUT
+    (candidate explosion x array payloads) is ~100x its keyed input
+    bytes, which AQE cannot see. The plan must show the user
+    repartitions surviving into the exchanges."""
+    plan = (
+        D.minhash_near_duplicates(corpus, "doc_id", threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # REPARTITION_BY_NUM exchanges (user repartition with explicit
+    # width + column) are never AQE-coalesced
+    assert plan.count("REPARTITION_BY_NUM") >= 3, plan

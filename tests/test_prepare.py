@@ -151,8 +151,11 @@ def test_prepare_release_unpins_exactly_what_it_persisted(spark):
         spark, SF_DIR, n_shards=4, collect_stats=False, **PARAMS
     )
     pinned = df._prepare_persisted
-    # production mode pins only the doubly-consumed exact-dedup stage
-    assert len(pinned) == 1
+    # production mode pins the doubly-consumed exact-dedup stage AND the
+    # near-dup pair graph (unpersisted, the iterative connected-
+    # components loop would recompute the whole LSH pipeline per round —
+    # measured 1.64x on the end-to-end recipe, tools/bench_prepare.py)
+    assert len(pinned) == 2
     assert all(p.storageLevel.useMemory or p.storageLevel.useDisk for p in pinned)
     release_training_corpus(df)
     assert all(

@@ -52,8 +52,11 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_PARTITIONS", "128")),
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
+            # compression ON (unlike the shuffle-micro benches): the
+            # recipe's near-dup verify stage shuffles candidate-pair
+            # token arrays whose uncompressed volume on the tmpfs local
+            # dir competes with the JVM for the SAME physical RAM —
+            # 100k zipf docs OOM-killed the driver uncompressed
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,9 +87,27 @@ def main() -> None:
         kwargs = dict(
             min_quality_ppm=0,  # synthetic words carry no stopwords
             lang=None,
-            jaccard_threshold=0.8,
+            # shingle-set Jaccard of a 5%-perturbed copy is ~0.75
+            # ((1-p)^3 shingle survival, inclusion-exclusion), while
+            # unrelated docs sit near 0 — 0.6 splits them with margin
+            jaccard_threshold=0.6,
             n_shards=64,
+            # production knobs: shingle-set near-dup signal (raw-token
+            # minhash degenerates on a Zipf head — see
+            # ngram_near_duplicates) + the band-bucket size guard;
+            # recall on the planted dups reported below
+            near_dup_on="shingles3",
+            lsh_max_bucket=4096,
         )
+
+        # warmup pass (codegen/Arrow/JIT): the FIRST pipeline execution
+        # on a fresh JVM measured 2x slower than the second on identical
+        # data — run one throwaway before any timed run
+        warm, _ = prepare_training_corpus(
+            spark, tmp, collect_stats=False, **kwargs
+        )
+        warm.count()
+        release_training_corpus(warm)
 
         t0 = time.perf_counter()
         out, _ = prepare_training_corpus(
@@ -107,6 +128,19 @@ def main() -> None:
 
         assert n_on == n_off, (n_on, n_off)
         barrier_sum = round(sum(stage_times.values()), 2)
+
+        # near-dedup recall on the PLANTED structure: doc_key % 20 == 1
+        # is a near-copy of doc_key-1 (sources/synth.py) — a recalled
+        # dup is one the recipe REMOVED from the final corpus
+        out3, _ = prepare_training_corpus(
+            spark, tmp, collect_stats=False, **kwargs
+        )
+        planted = n_docs // 20  # doc_key % 20 == 1, doc_key > 0 -> floor
+        survivors = out3.filter(
+            (F.col("doc_key") % 20 == 1) & (F.col("doc_key") > 0)
+        ).count()
+        release_training_corpus(out3)
+        dup_recall = round(1.0 - survivors / max(1, planted), 4)
         print(
             json.dumps(
                 {
@@ -125,6 +159,7 @@ def main() -> None:
                         barrier_sum / max(stats_off, 1e-9), 3
                     ),
                     "docs_per_sec": round(n_docs / stats_off, 1),
+                    "planted_dup_removal_recall": dup_recall,
                 }
             )
         )

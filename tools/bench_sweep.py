@@ -147,6 +147,19 @@ def main() -> None:
             "cpu_inflation_full": round(
                 r32["full_task_cpu_ms"] / max(1, r8["full_task_cpu_ms"]), 2
             ),
+            # per-stage task-CPU inflation hi/lo: eff x inflation ~ 1.0
+            # means the raw loss is hardware slowdown (busy-but-slower
+            # cores), not scheduling — the probe_membus signature, now
+            # checkable per stage at any replicate
+            "cpu_inflation_stage": {
+                k: round(
+                    r32["stage_tasks"][k]["task_cpu_ms"]
+                    / max(1.0, r8["stage_tasks"][k]["task_cpu_ms"]),
+                    2,
+                )
+                for k in r8.get("stage_tasks", {})
+                if k in r32.get("stage_tasks", {})
+            },
             "steal_lo": r8["env"]["steal_pct_of_busy"],
             "steal_hi": r32["env"]["steal_pct_of_busy"],
             "load_lo": r8["env"]["load_start"],
