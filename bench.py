@@ -109,6 +109,12 @@ def main() -> None:
 
 
 def _run_once() -> dict:
+    # ambient load sampled BEFORE the session spins up: the old read sat
+    # after the 32-thread cache-warm burst, so every attempt measured
+    # the bench's OWN warmup (~4) as "ambient" and flagged a genuinely
+    # quiet window contaminated — the r3/r4 headline windows were
+    # mislabeled exactly this way (steal was 0.1-0.3% throughout)
+    load_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -221,7 +227,6 @@ def _run_once() -> dict:
 
     env_t0 = time.time()
     busy0, steal0 = proc_stat()
-    load_start = os.getloadavg()
 
     def completed_stages() -> list[dict]:
         """Stage-level task metrics from the UI REST API (executorRunTime

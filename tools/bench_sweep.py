@@ -56,6 +56,11 @@ CONFIGS: dict[str, dict] = {
     # only the comparator on prefix-equal rows ever reads, but the fit
     # population must not mix pre- and post-fix binaries.
     "r4_final": {},
+    # round-5 label: same spec as r4_final (the bench pipeline's own
+    # stages are untouched this round); rows carry the new per-stage
+    # cpu_inflation_stage field so the eff x inflation ~ 1.0 hardware
+    # attribution is checkable per stage at rep=600.
+    "r5_final": {},
 }
 
 
